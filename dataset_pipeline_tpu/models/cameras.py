@@ -1,0 +1,478 @@
+"""Camera distortion models as JAX pytrees with pure batched functions.
+
+Replaces the reference's CRTP class hierarchy + ``CHOOSE_CAMERA_TEMPLATE``
+runtime→compile-time dispatch (``/root/reference/src/camera/camera_base.h:211``,
+``camera_base_impl.h:47``) with a static model registry: a ``Camera`` carries a
+static model name and a flat COLMAP-ordered parameter vector; every operation
+(`project`, `unproject`, Jacobians) is a pure function specialized per model at
+trace time, so XLA compiles straight-line vectorized code per camera model.
+
+Distortion math follows the reference's model set exactly (parameter layouts
+and formulas verified against ``src/camera/camera_*.h``):
+
+- radial family: image = n * (1 + k1 r^2 + ...)          (``camera_polynomial.h:54``)
+- tangential:    + [2 p1 xy + p2 (r^2+2x^2), ...]        (``camera_polynomial_tangential.h:54``)
+- rational:      (1+k1 r2+k2 r4+k3 r6)/(1+k4 r2+k5 r4+k6 r6)  (``camera_full_opencv.h:55``)
+- thin prism:    + [sx1 r^2, sy1 r^2]                    (``camera_thin_prism.h:57``)
+- fisheye pre-warp: n -> n * atan(r)/r before the conventional model
+  (``camera_base_impl_fisheye.h:67``)
+- FOV: n * atan(r * 2 tan(w/2)) / (r w)                  (``camera_fisheye_fov.h:57``)
+
+Derivatives come from JAX autodiff instead of hand-written chain rules — the
+reference's ``DistortedDerivativeBy*`` trees are replaced by ``jacfwd`` on the
+same forward functions, which yields identical analytic values.
+
+Coordinate convention: pixel centers sit at integer coordinates (the reference
+shifts COLMAP principal points by -0.5 on load, ``io/colmap_model.cc:834``; we
+do the same at the I/O boundary).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-6
+
+# ---------------------------------------------------------------------------
+# Distortion functions: (dist_params, xy (...,2)) -> xy (...,2)
+# dist_params = params[num_pixel_params:]
+# ---------------------------------------------------------------------------
+
+
+def _radial(xy, factor):
+    return xy * factor
+
+
+def _dist_none(k, xy):
+    return xy
+
+
+def _dist_poly1(k, xy):
+    r2 = jnp.sum(xy * xy, -1, keepdims=True)
+    return xy * (1.0 + r2 * k[0])
+
+
+def _dist_poly2(k, xy):
+    r2 = jnp.sum(xy * xy, -1, keepdims=True)
+    return xy * (1.0 + r2 * (k[0] + r2 * k[1]))
+
+
+def _dist_poly3(k, xy):
+    r2 = jnp.sum(xy * xy, -1, keepdims=True)
+    return xy * (1.0 + r2 * (k[0] + r2 * (k[1] + r2 * k[2])))
+
+
+def _dist_poly4(k, xy):
+    r2 = jnp.sum(xy * xy, -1, keepdims=True)
+    return xy * (1.0 + r2 * (k[0] + r2 * (k[1] + r2 * (k[2] + r2 * k[3]))))
+
+
+def _tangential(p1, p2, xy):
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    dy = 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+    return jnp.stack([dx, dy], -1)
+
+
+def _dist_opencv(k, xy):
+    # k = [k1, k2, p1, p2]
+    r2 = jnp.sum(xy * xy, -1, keepdims=True)
+    radial = 1.0 + r2 * (k[0] + r2 * k[1])
+    return xy * radial + _tangential(k[2], k[3], xy)
+
+
+def _dist_full_opencv(k, xy):
+    # k = [k1, k2, p1, p2, k3, k4, k5, k6]
+    r2 = jnp.sum(xy * xy, -1, keepdims=True)
+    r4 = r2 * r2
+    r6 = r4 * r2
+    radial = (1.0 + k[0] * r2 + k[1] * r4 + k[4] * r6) / (
+        1.0 + k[5] * r2 + k[6] * r4 + k[7] * r6
+    )
+    return xy * radial + _tangential(k[2], k[3], xy)
+
+
+def _dist_thin_prism(k, xy):
+    # k = [k1, k2, p1, p2, k3, k4, sx1, sy1]
+    r2 = jnp.sum(xy * xy, -1, keepdims=True)
+    radial = 1.0 + r2 * (k[0] + r2 * (k[1] + r2 * (k[4] + r2 * k[5])))
+    prism = jnp.concatenate([k[6] * r2, k[7] * r2], -1)
+    return xy * radial + _tangential(k[2], k[3], xy) + prism
+
+
+def _dist_fov(k, xy):
+    omega = k[0]
+    r = jnp.sqrt(jnp.maximum(jnp.sum(xy * xy, -1, keepdims=True), _EPS * _EPS))
+    two_tan_half = 2.0 * jnp.tan(0.5 * omega)
+    factor = jnp.arctan(r * two_tan_half) / (r * omega)
+    small = r < _EPS
+    return xy * jnp.where(small, 1.0, factor)
+
+
+def _fisheye_prewarp(xy):
+    """Equidistant pre-warp n -> n * atan(r)/r."""
+    r = jnp.sqrt(jnp.maximum(jnp.sum(xy * xy, -1, keepdims=True), _EPS * _EPS))
+    theta_by_r = jnp.arctan(r) / r
+    small = r < _EPS
+    return xy * jnp.where(small, 1.0, theta_by_r)
+
+
+def _fisheye_unwarp(xy):
+    """Inverse of the pre-warp: r -> tan(r)/r (invalid past pi/2)."""
+    r = jnp.sqrt(jnp.maximum(jnp.sum(xy * xy, -1, keepdims=True), _EPS * _EPS))
+    factor = jnp.where(r < _EPS, 1.0, jnp.tan(jnp.minimum(r, 0.5 * math.pi - 1e-4)) / r)
+    factor = jnp.where(r > 0.5 * math.pi, jnp.inf, factor)
+    return xy * factor
+
+
+class ModelSpec(NamedTuple):
+    name: str
+    param_count: int
+    unique_focal: bool  # single f (params: f cx cy ...) vs fx fy cx cy ...
+    fisheye: bool  # equidistant pre-warp before the conventional distortion
+    dist_fn: Callable  # (dist_params, xy) -> xy, conventional part only
+
+
+# COLMAP names; registry order mirrors the reference factory
+# (``src/camera/camera_base.cc:65-78``). Note the reference registers
+# RADIAL_FISHEYE/SIMPLE_RADIAL_FISHEYE *without* the fisheye pre-warp (a known
+# quirk); we implement the COLMAP semantics (with pre-warp).
+CAMERA_MODELS: Dict[str, ModelSpec] = {
+    s.name: s
+    for s in [
+        ModelSpec("PINHOLE", 4, False, False, _dist_none),
+        ModelSpec("SIMPLE_PINHOLE", 3, True, False, _dist_none),
+        ModelSpec("FOV", 5, False, False, _dist_fov),
+        ModelSpec("OPENCV_FISHEYE", 8, False, True, _dist_poly4),
+        ModelSpec("FISHEYE_POLYNOMIAL_2_TANGENTIAL_2", 8, False, True, _dist_opencv),
+        ModelSpec("POLYNOMIAL_3", 7, False, False, _dist_poly3),
+        ModelSpec("POLYNOMIAL_4", 8, False, False, _dist_poly4),
+        ModelSpec("RADIAL", 5, True, False, _dist_poly2),
+        ModelSpec("SIMPLE_RADIAL", 4, True, False, _dist_poly1),
+        ModelSpec("RADIAL_FISHEYE", 5, True, True, _dist_poly2),
+        ModelSpec("SIMPLE_RADIAL_FISHEYE", 4, True, True, _dist_poly1),
+        ModelSpec("OPENCV", 8, False, False, _dist_opencv),
+        ModelSpec("FULL_OPENCV", 12, False, False, _dist_full_opencv),
+        ModelSpec("THIN_PRISM_FISHEYE", 12, False, True, _dist_thin_prism),
+    ]
+}
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["params", "radius_cutoff_sq"],
+    meta_fields=["model", "width", "height"],
+)
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """One camera: static model/size + flat COLMAP-ordered parameter vector.
+
+    ``radius_cutoff_sq`` bounds the normalized-plane radius beyond which
+    projection is declared invalid (reference ``InitCutoff``,
+    ``camera_base_impl.h:410-463``); defaults to inf, computed by
+    :func:`init_cutoff`.
+    """
+
+    model: str
+    width: int
+    height: int
+    params: jnp.ndarray
+    radius_cutoff_sq: jnp.ndarray
+
+    @property
+    def spec(self) -> ModelSpec:
+        return CAMERA_MODELS[self.model]
+
+    # --- intrinsics accessors (model-dependent layout) ---
+    @property
+    def fx(self):
+        return self.params[0]
+
+    @property
+    def fy(self):
+        return self.params[0] if self.spec.unique_focal else self.params[1]
+
+    @property
+    def cx(self):
+        return self.params[1] if self.spec.unique_focal else self.params[2]
+
+    @property
+    def cy(self):
+        return self.params[2] if self.spec.unique_focal else self.params[3]
+
+    @property
+    def dist_params(self):
+        return self.params[3 if self.spec.unique_focal else 4 :]
+
+    def with_params(self, params) -> "Camera":
+        return dataclasses.replace(self, params=params)
+
+
+def make_camera(model: str, width: int, height: int, params, cutoff: bool = True) -> Camera:
+    params = jnp.asarray(params, jnp.float32)
+    spec = CAMERA_MODELS[model]
+    if params.shape != (spec.param_count,):
+        raise ValueError(
+            f"{model} expects {spec.param_count} params, got {params.shape}"
+        )
+    cam = Camera(model, int(width), int(height), params, jnp.asarray(jnp.inf, jnp.float32))
+    if cutoff and spec.dist_fn is not _dist_none:
+        cam = init_cutoff(cam)
+    return cam
+
+
+# ---------------------------------------------------------------------------
+# Forward path
+# ---------------------------------------------------------------------------
+
+
+def _warped(cam: Camera, xy):
+    """Apply the fisheye pre-warp if the model has one.
+
+    The radius cutoff lives in THIS space: the reference checks
+    ``atan_r^2 > radius_cutoff_squared`` for fisheye models
+    (``camera_base_impl_fisheye.h:67-75``).
+    """
+    return _fisheye_prewarp(xy) if cam.spec.fisheye else xy
+
+
+def distort(cam: Camera, xy):
+    """Normalized image plane -> distorted plane (includes fisheye pre-warp)."""
+    return cam.spec.dist_fn(cam.dist_params, _warped(cam, xy))
+
+
+def distorted_to_image(cam: Camera, xy):
+    f = jnp.stack([cam.fx, cam.fy])
+    c = jnp.stack([cam.cx, cam.cy])
+    return xy * f + c
+
+
+def image_to_distorted(cam: Camera, xy):
+    f = jnp.stack([cam.fx, cam.fy])
+    c = jnp.stack([cam.cx, cam.cy])
+    return (xy - c) / f
+
+
+def normalized_to_image(cam: Camera, xy):
+    """Normalized plane -> pixels, with radius cutoff -> inf (invalid)."""
+    w = _warped(cam, xy)
+    r2 = jnp.sum(w * w, -1, keepdims=True)
+    out = distorted_to_image(cam, cam.spec.dist_fn(cam.dist_params, w))
+    return jnp.where(r2 > cam.radius_cutoff_sq, jnp.inf, out)
+
+
+def project(cam: Camera, points):
+    """Camera-frame 3D points ``(...,3)`` -> (pixels ``(...,2)``, valid mask).
+
+    valid = in front of camera AND inside the radius cutoff AND finite.
+    """
+    z = points[..., 2:3]
+    safe_z = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    n = points[..., :2] / safe_z
+    w = _warped(cam, n)
+    r2 = jnp.sum(w * w, -1)
+    pix = distorted_to_image(cam, cam.spec.dist_fn(cam.dist_params, w))
+    valid = (z[..., 0] > _EPS) & (r2 <= cam.radius_cutoff_sq) & jnp.all(
+        jnp.isfinite(pix), -1
+    )
+    return pix, valid
+
+
+def in_image(cam: Camera, pix, border: float = 0.0):
+    """Mask of pixels inside the image rect (pixel-center convention)."""
+    return (
+        (pix[..., 0] >= border)
+        & (pix[..., 1] >= border)
+        & (pix[..., 0] <= cam.width - 1 - border)
+        & (pix[..., 1] <= cam.height - 1 - border)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse path: fixed-iteration Gauss-Newton undistortion (batched)
+# ---------------------------------------------------------------------------
+
+_UNDIST_ITERS = 100
+_UNDIST_EPS = 1e-10
+
+
+def _conventional_undistort(cam: Camera, dist_xy, init_xy, num_iters=_UNDIST_ITERS):
+    """Invert spec.dist_fn by 2x2 Gauss-Newton (reference IterativeUndistort,
+    ``camera_base_impl.h:216-248``), batched over points; autodiff Jacobian."""
+    spec = cam.spec
+    dfn = lambda p: spec.dist_fn(cam.dist_params, p)
+
+    jac = jax.jacfwd(dfn)
+
+    def body(_, state):
+        u, done = state
+        resid = dfn(u) - dist_xy  # (...,2)
+        J = jac_batched(u)  # (...,2,2)
+        # solve J dx = resid (2x2 closed form)
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, d = J[..., 1, 0], J[..., 1, 1]
+        det = a * d - b * c
+        safe_det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        dx = (d * resid[..., 0] - b * resid[..., 1]) / safe_det
+        dy = (-c * resid[..., 0] + a * resid[..., 1]) / safe_det
+        step = jnp.stack([dx, dy], -1)
+        conv = jnp.sum(resid * resid, -1, keepdims=True) < _UNDIST_EPS
+        u_new = jnp.where(done | conv, u, u - step)
+        return u_new, done | conv
+
+    # vmap-compatible jacobian over arbitrary leading dims
+    flat_shape = dist_xy.shape[:-1]
+
+    def jac_batched(u):
+        flat = u.reshape(-1, 2)
+        J = jax.vmap(jac)(flat)
+        return J.reshape(flat_shape + (2, 2))
+
+    u0 = init_xy
+    done0 = jnp.zeros(flat_shape + (1,), bool)
+    u, _ = jax.lax.fori_loop(0, num_iters, body, (u0, done0))
+    return u
+
+
+def undistort(cam: Camera, dist_xy, num_iters=_UNDIST_ITERS):
+    """Distorted plane -> normalized plane (inverts :func:`distort`)."""
+    u = _conventional_undistort(cam, dist_xy, dist_xy, num_iters)
+    if cam.spec.fisheye:
+        u = _fisheye_unwarp(u)
+    return u
+
+
+def image_to_normalized(cam: Camera, pix, num_iters=_UNDIST_ITERS):
+    return undistort(cam, image_to_distorted(cam, pix), num_iters)
+
+
+def unproject(cam: Camera, pix, depth, num_iters=_UNDIST_ITERS):
+    """Pixels + depth (z) -> camera-frame 3D points."""
+    n = image_to_normalized(cam, pix, num_iters)
+    z = jnp.asarray(depth)[..., None]
+    return jnp.concatenate([n * z, jnp.broadcast_to(z, n.shape[:-1] + (1,))], -1)
+
+
+# ---------------------------------------------------------------------------
+# Jacobians (autodiff on the forward functions; replaces the reference's
+# hand-derived DistortedDerivativeBy* chain rules)
+# ---------------------------------------------------------------------------
+
+
+def image_jacobian_wrt_point(cam: Camera, point):
+    """d pixel / d camera-frame point, shape (...,2,3)."""
+
+    def f(p):
+        z = p[2]
+        safe_z = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+        n = p[:2] / safe_z
+        return distorted_to_image(cam, distort(cam, n))
+
+    flat = point.reshape(-1, 3)
+    J = jax.vmap(jax.jacfwd(f))(flat)
+    return J.reshape(point.shape[:-1] + (2, 3))
+
+
+def image_jacobian_wrt_params(cam: Camera, point):
+    """d pixel / d camera parameters, shape (...,2,P)."""
+
+    def f(params, p):
+        c2 = cam.with_params(params)
+        z = p[2]
+        safe_z = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+        n = p[:2] / safe_z
+        return distorted_to_image(c2, distort(c2, n))
+
+    flat = point.reshape(-1, 3)
+    J = jax.vmap(lambda p: jax.jacfwd(f)(cam.params, p))(flat)
+    return J.reshape(point.shape[:-1] + (2, cam.params.shape[0]))
+
+
+# ---------------------------------------------------------------------------
+# Pyramid / cutoff construction (host-side, once per camera)
+# ---------------------------------------------------------------------------
+
+
+def scaled_by(cam: Camera, factor: float) -> Camera:
+    """Camera for an image scaled by ``factor`` (center-of-pixel convention,
+    reference ``camera_base_impl.h:70-90``)."""
+    p = jnp.asarray(cam.params)
+    if cam.spec.unique_focal:
+        p = p.at[0].mul(factor)
+        p = p.at[1].set(factor * (p[1] + 0.5) - 0.5)
+        p = p.at[2].set(factor * (p[2] + 0.5) - 0.5)
+    else:
+        p = p.at[0].mul(factor)
+        p = p.at[1].mul(factor)
+        p = p.at[2].set(factor * (p[2] + 0.5) - 0.5)
+        p = p.at[3].set(factor * (p[3] + 0.5) - 0.5)
+    return dataclasses.replace(
+        cam,
+        width=int(factor * cam.width + 0.5),
+        height=int(factor * cam.height + 0.5),
+        params=p,
+    )
+
+
+def shifted_by(cam: Camera, cx_offset: float, cy_offset: float) -> Camera:
+    p = jnp.asarray(cam.params)
+    i = 1 if cam.spec.unique_focal else 2
+    p = p.at[i].add(cx_offset).at[i + 1].add(cy_offset)
+    return dataclasses.replace(cam, params=p)
+
+
+def init_cutoff(cam: Camera, border_samples: int = 64) -> Camera:
+    """Compute ``radius_cutoff_sq`` from border-pixel unprojections.
+
+    Vectorized version of the reference's multi-start scheme
+    (``camera_base_impl.h:278-463``): undistort each border point from a grid
+    of initializations, collect best/second-best radii, and set
+    cutoff^2 = min(max_p(best) * 1.01, min_p(second_best)).
+    """
+    w, h = cam.width, cam.height
+    xs = jnp.linspace(0.0, w - 1.0, border_samples)
+    ys = jnp.linspace(0.0, h - 1.0, border_samples)
+    border = jnp.concatenate(
+        [
+            jnp.stack([xs, jnp.zeros_like(xs)], -1),
+            jnp.stack([xs, jnp.full_like(xs, h - 1.0)], -1),
+            jnp.stack([jnp.zeros_like(ys), ys], -1),
+            jnp.stack([jnp.full_like(ys, w - 1.0), ys], -1),
+        ]
+    )
+    dist_pts = image_to_distorted(cam, border)  # (B,2)
+
+    # grid of initializations around each distorted point
+    steps = 10
+    half_extent = 1.5
+    offs = (jnp.arange(steps) - 0.5 * steps) / (0.5 * steps) * half_extent
+    ox, oy = jnp.meshgrid(offs, offs, indexing="xy")
+    inits = dist_pts[:, None, :] + jnp.stack([ox.ravel(), oy.ravel()], -1)[None]  # (B,G,2)
+
+    B, G, _ = inits.shape
+    cam_inf = dataclasses.replace(cam, radius_cutoff_sq=jnp.asarray(jnp.inf, jnp.float32))
+    tiled = jnp.broadcast_to(dist_pts[:, None, :], (B, G, 2)).reshape(-1, 2)
+    sol = _conventional_undistort(cam_inf, tiled, inits.reshape(-1, 2))
+    resid = cam.spec.dist_fn(cam.dist_params, sol) - tiled
+    converged = jnp.sum(resid * resid, -1) < 1e-6
+    radii = jnp.where(converged, jnp.linalg.norm(sol, axis=-1), jnp.inf).reshape(B, G)
+
+    best = jnp.min(radii, axis=1)
+    # second-best = smallest radius meaningfully larger than best
+    improve = 0.99
+    second = jnp.min(
+        jnp.where(radii > best[:, None] / improve, radii, jnp.inf), axis=1
+    )
+    has_best = jnp.isfinite(best)
+    min_candidate = jnp.max(jnp.where(has_best, best**2, 0.0))
+    max_candidate = jnp.min(jnp.where(jnp.isfinite(second), second**2, jnp.inf))
+    cutoff = jnp.minimum(min_candidate * 1.01, max_candidate)
+    cutoff = jnp.where(cutoff <= 0, jnp.inf, cutoff)
+    return dataclasses.replace(cam, radius_cutoff_sq=cutoff.astype(jnp.float32))
