@@ -1,0 +1,107 @@
+"""Neighbor search, normals, and outlier removal tests vs numpy brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dataset_pipeline_tpu.ops import (
+    build_grid,
+    estimate_normals,
+    knn_bruteforce,
+    knn_grid,
+    nearest_neighbor,
+    radius_search,
+    remove_outliers,
+)
+
+RNG = np.random.RandomState(5)
+
+
+def np_knn(queries, points, k):
+    d2 = ((queries[:, None, :] - points[None]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    return np.take_along_axis(d2, idx, 1), idx
+
+
+def test_knn_bruteforce_matches_numpy():
+    pts = RNG.randn(500, 3).astype(np.float32)
+    q = RNG.randn(64, 3).astype(np.float32)
+    d2, idx = knn_bruteforce(jnp.asarray(q), jnp.asarray(pts), 5)
+    d2n, idxn = np_knn(q, pts, 5)
+    np.testing.assert_allclose(np.asarray(d2), d2n, atol=1e-5)
+    # indices can differ on ties; check distances of chosen indices instead
+    chosen = ((q[:, None, :] - pts[np.asarray(idx)]) ** 2).sum(-1)
+    np.testing.assert_allclose(chosen, d2n, atol=1e-5)
+
+
+def test_knn_grid_matches_bruteforce_within_radius():
+    pts = RNG.rand(2000, 3).astype(np.float32)
+    q = RNG.rand(256, 3).astype(np.float32)
+    cell = 0.15
+    grid = build_grid(pts, cell)
+    d2g, idxg = knn_grid(grid, jnp.asarray(q), 4, max_per_cell=64)
+    d2n, _ = np_knn(q, pts, 4)
+    # all true neighbors within the cell size must be found
+    mask = d2n <= cell * cell
+    np.testing.assert_allclose(np.asarray(d2g)[mask], d2n[mask], atol=1e-5)
+
+
+def test_radius_search():
+    pts = RNG.rand(1000, 3).astype(np.float32)
+    q = pts[:50] + 0.001
+    grid = build_grid(pts, 0.1)
+    d2, idx = radius_search(grid, jnp.asarray(q), 0.1, 16, max_per_cell=64)
+    d2 = np.asarray(d2)
+    idx = np.asarray(idx)
+    valid = idx >= 0
+    assert valid.any()
+    # every returned neighbor is inside the radius
+    assert (d2[valid] <= 0.1 * 0.1 + 1e-6).all()
+    # count matches numpy (up to the max_results cap)
+    d2n = ((q[:, None, :] - pts[None]) ** 2).sum(-1)
+    for i in range(50):
+        expected = min((d2n[i] <= 0.1 * 0.1).sum(), 16)
+        assert valid[i].sum() == expected
+
+
+def test_nearest_neighbor_self():
+    pts = RNG.rand(300, 3).astype(np.float32)
+    grid = build_grid(pts, 0.2)
+    d2, idx = nearest_neighbor(grid, jnp.asarray(pts))
+    np.testing.assert_array_equal(np.asarray(d2), 0.0)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(300))
+
+
+def test_normals_on_plane():
+    # plane z = 0.2x + 0.1y + 1; normal prop to (-0.2,-0.1,1)
+    xy = RNG.rand(2000, 2).astype(np.float32)
+    z = 0.2 * xy[:, 0] + 0.1 * xy[:, 1] + 1.0
+    pts = np.concatenate([xy, z[:, None]], -1)
+    vp = np.asarray([0.5, 0.5, 10.0], np.float32)  # above the plane
+    normals, ok = estimate_normals(pts, vp, k=12)
+    expected = np.asarray([-0.2, -0.1, 1.0])
+    expected /= np.linalg.norm(expected)
+    normals = np.asarray(normals)
+    assert np.asarray(ok).all()
+    dots = normals @ expected
+    assert (dots > 0.999).mean() > 0.97  # oriented toward viewpoint
+
+
+def test_normals_grid_path_matches_bruteforce():
+    pts = RNG.rand(3000, 3).astype(np.float32) * np.asarray([1, 1, 0.02], np.float32)
+    vp = np.asarray([0.5, 0.5, 5.0], np.float32)
+    n_bf, ok_bf = estimate_normals(pts, vp, k=10)
+    grid = build_grid(pts, 0.15)
+    n_g, ok_g = estimate_normals(pts, vp, k=10, grid=grid, max_per_cell=128)
+    agree = np.abs((np.asarray(n_bf) * np.asarray(n_g)).sum(-1))
+    assert (agree > 0.99).mean() > 0.95
+
+
+def test_outlier_removal():
+    cluster = RNG.rand(1000, 3).astype(np.float32) * 0.5
+    # isolated far-flung single points (a dense clump would rightly survive
+    # the LOCAL statistics filter)
+    outliers = (RNG.rand(20, 3).astype(np.float32) - 0.5) * 40.0 + np.asarray([20.0, 0.0, 0.0], np.float32)
+    pts = np.concatenate([cluster, outliers])
+    mask = remove_outliers(pts, [(20, 1.5)])
+    assert mask[:1000].mean() > 0.95  # cluster kept
+    assert mask[1000:].sum() <= 2  # isolated points dropped
