@@ -1,0 +1,78 @@
+"""CubeMapRenderer: 6-face point z-buffer render of a colored scan.
+
+CLI counterpart of ``/root/reference/src/exe/cube_map_renderer.cc``: renders a
+PLY cloud (in its own scan frame) into 6 cube faces of ``--size`` px with
+fx=fy=cx=cy=size/2 (upper-left-corner convention), fills depth holes with the
+median scheme, flood-fills remaining colors, and writes
+``<out>.<face>.png`` + ``<out>.<face>.depth`` (raw float32) and
+``<out>.intrinsics.txt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from dataset_pipeline_tpu.io.depthmap import write_cube_intrinsics, write_depth_raw
+from dataset_pipeline_tpu.io.ply import read_ply
+from dataset_pipeline_tpu.ops.splat import (
+    CUBE_FACE_NAMES,
+    CUBE_FACE_ROTATIONS,
+    fill_color_from_depth,
+    fill_depth_holes,
+    flood_fill_colors,
+    render_points_depth_color,
+)
+
+
+def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int):
+    """Returns dict face_name -> (depth (S,S) f32, color (S,S,3) u8)."""
+    f = size / 2.0
+    c = size // 2
+    out = {}
+    pos = jnp.asarray(positions, jnp.float32)
+    cols = jnp.asarray(colors if colors is not None else np.zeros((len(positions), 3), np.uint8))
+    for face, name in enumerate(CUBE_FACE_NAMES):
+        R = jnp.asarray(CUBE_FACE_ROTATIONS[face])
+        # elementwise rotation (keep off the MXU for precision)
+        p = (
+            pos[:, None, :] * R[None, :, :]
+        ).sum(-1)
+        depth_raw, color_raw = render_points_depth_color(p, cols, size, size, f, f, c, c)
+        depth = fill_depth_holes(depth_raw)
+        color, valid = fill_color_from_depth(depth_raw, color_raw)
+        color = flood_fill_colors(color, valid)
+        out[name] = (np.asarray(depth), np.asarray(color))
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-c", "--cloud", required=True, help="input PLY (scan frame)")
+    p.add_argument("-o", "--output", required=True, help="output base path")
+    p.add_argument("--size", type=int, required=True, help="face side length in px")
+    args = p.parse_args(argv)
+
+    cloud = read_ply(args.cloud)
+    print(f"loaded {len(cloud)} points")
+    write_cube_intrinsics(
+        args.output + ".intrinsics.txt",
+        args.size, args.size, args.size // 2, args.size // 2,
+        args.size // 2, args.size // 2,
+    )
+    faces = render_cube_map(cloud.positions, cloud.colors, args.size)
+    from PIL import Image
+
+    for name, (depth, color) in faces.items():
+        Image.fromarray(color).save(f"{args.output}.{name}.png")
+        write_depth_raw(f"{args.output}.{name}.depth", depth)
+        n_valid = int(np.isfinite(depth).sum())
+        print(f"face {name}: {n_valid}/{depth.size} valid depth px")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

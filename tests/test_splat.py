@@ -1,0 +1,126 @@
+"""Splat z-buffer renderer and cube-map fill tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dataset_pipeline_tpu.ops.splat import (
+    CUBE_FACE_NAMES,
+    CUBE_FACE_ROTATIONS,
+    fill_color_from_depth,
+    fill_depth_holes,
+    flood_fill_colors,
+    render_points_depth,
+    render_points_depth_color,
+    render_splats_depth,
+)
+
+RNG = np.random.RandomState(9)
+
+
+def test_single_point_lands_on_pixel():
+    # point projecting exactly to pixel (10.2, 5.7) -> truncated (10,5)
+    fx = fy = 50.0
+    cx = cy = 16.0
+    z = 2.0
+    x = (10.2 - cx) * z / fx
+    y = (5.7 - cy) * z / fy
+    depth = render_points_depth(jnp.asarray([[x, y, z]], jnp.float32), 32, 32, fx, fy, cx, cy)
+    d = np.asarray(depth)
+    assert d[5, 10] == 2.0
+    assert np.isinf(np.delete(d.reshape(-1), 5 * 32 + 10)).all()
+
+
+def test_zbuffer_keeps_nearest():
+    fx = fy = 50.0
+    cx = cy = 16.0
+    pts = []
+    for z in (5.0, 2.0, 3.0):
+        pts.append([(10.0 - cx) * z / fx, (10.0 - cy) * z / fy, z])
+    depth, color = render_points_depth_color(
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray([[255, 0, 0], [0, 255, 0], [0, 0, 255]], jnp.uint8),
+        32, 32, fx, fy, cx, cy,
+    )
+    assert np.asarray(depth)[10, 10] == 2.0
+    np.testing.assert_array_equal(np.asarray(color)[10, 10], [0, 255, 0])
+
+
+def test_points_behind_camera_dropped():
+    depth = render_points_depth(
+        jnp.asarray([[0.0, 0.0, -1.0], [0.1, 0.1, 0.0]], jnp.float32),
+        16, 16, 8.0, 8.0, 8.0, 8.0,
+    )
+    assert np.isinf(np.asarray(depth)).all()
+
+
+def test_splat_radius_covers_square():
+    fx = fy = 100.0
+    cx = cy = 16.0
+    # r_px = 100 * 0.04 / 2 = 2 -> 5x5 square
+    depth = render_splats_depth(
+        jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+        jnp.asarray([0.04], jnp.float32),
+        32, 32, fx, fy, cx, cy, max_radius_px=3,
+    )
+    d = np.asarray(depth)
+    assert (d[14:19, 14:19] == 2.0).all()
+    assert np.isinf(d[10, 10])
+
+
+def test_fill_depth_holes_median():
+    depth = np.full((8, 8), np.inf, np.float32)
+    # surround (4,4) with 8 valid neighbors
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    i = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            depth[4 + dy, 4 + dx] = vals[i]
+            i += 1
+    filled = np.asarray(fill_depth_holes(jnp.asarray(depth)))
+    # count==8 -> median of first 7 scan-order values = median(1..7) = 4
+    assert filled[4, 4] == 4.0
+    # valid pixels unchanged
+    assert filled[3, 3] == 1.0
+
+
+def test_fill_two_neighbors_takes_min():
+    depth = np.full((8, 8), np.inf, np.float32)
+    depth[3, 3] = 5.0
+    depth[3, 5] = 2.0
+    filled = np.asarray(fill_depth_holes(jnp.asarray(depth)))
+    assert filled[3, 4] == 2.0
+    # pixel with one valid neighbor stays inf
+    assert np.isinf(filled[4, 2]) or filled[4, 2] > 0
+
+
+def test_color_flood_fill_completes():
+    color = np.zeros((16, 16, 3), np.uint8)
+    valid = np.zeros((16, 16), bool)
+    color[0, 0] = [100, 150, 200]
+    valid[0, 0] = True
+    out = flood_fill_colors(jnp.asarray(color), jnp.asarray(valid))
+    out = np.asarray(out)
+    assert (out[:, :, 0] == 100).all() and (out[:, :, 2] == 200).all()
+
+
+def test_cube_faces_cover_sphere():
+    # random unit directions; every point must be visible in exactly one face
+    # interior (faces overlap only at borders)
+    dirs = RNG.randn(5000, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = dirs * 5.0
+    size = 64
+    f = size / 2.0
+    c = size // 2
+    seen = np.zeros(len(pts), np.int32)
+    for face in range(6):
+        R = CUBE_FACE_ROTATIONS[face]
+        p = pts @ R.T
+        z = p[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = f * p[:, 0] / z + c
+            y = f * p[:, 1] / z + c
+        seen += ((z > 0) & (x >= 0) & (y >= 0) & (x < size) & (y < size)).astype(np.int32)
+    assert (seen >= 1).all()
