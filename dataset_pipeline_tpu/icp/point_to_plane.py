@@ -1,0 +1,347 @@
+"""Joint multi-cloud symmetric point-to-plane ICP.
+
+TPU-native counterpart of the reference engine
+(``/root/reference/src/icp/icp_point_to_plane.{h,cc}``,
+``icp_point_to_plane_impl.h``):
+
+- outer iteration: transform clouds to the global frame, find nearest-neighbor
+  correspondences within ``max_correspondence_distance`` for every ordered
+  cloud pair with overlapping bounding boxes, plus both directions against an
+  optional fixed cloud (``icp_point_to_plane.cc:169-309``);
+- inner loop: Levenberg-Marquardt over per-cloud SE3 corrections (cloud 0 —
+  the fixed cloud if present, else the first cloud — is gauge-fixed), with
+  the SYMMETRIC residual pair per correspondence
+  ``r_src = n_src . (p_tgt - p_src)`` and ``r_tgt = n_tgt . (p_src - p_tgt)``
+  and their analytic Jacobians, which collapse to
+  ``J_tgt = [n, p_tgt x n], J_src = -J_tgt`` (``impl.h:129-211``);
+- LM control: lambda starts at 0.1, halve on accept / double on reject, 10
+  tries, force-stop when no update applies (``impl.h:217-291``);
+- convergence: max translation movement below threshold
+  (``icp_point_to_plane.cc:327-331``).
+
+TPU mapping: the per-correspondence loop becomes a chunked device kernel that
+accumulates H (6C x 6C) and b via one MXU matmul per chunk at f32-highest
+precision; the tiny LM solve runs on host in float64 (the reference also
+solves in double). Correspondence search uses the voxel-grid NN kernel
+instead of a KdTree.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dataset_pipeline_tpu.models.lie import SE3, quat_rotate
+from dataset_pipeline_tpu.ops.knn import build_grid, nearest_neighbor
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_clouds", "chunk"))
+def _icp_hb_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, num_clouds: int, chunk: int = 65536):
+    """Accumulate GN normal equations over all correspondences.
+
+    q (C,4), t (C,3): per-cloud SE3 corrections (applied to global-frame data).
+    ps/ns/pt/nt (M,3): source/target points/normals (global frame, padded).
+    src_id/tgt_id (M,): cloud indices. w (M,): 1 for real rows, 0 padding.
+    Returns H (6C,6C), b (6C,), cost (scalar).
+    """
+    C = num_clouds
+
+    def one_chunk(args):
+        ps, ns, pt, nt, sid, tid, w = args
+        qs, ts = q[sid], t[sid]
+        qt, tt = q[tid], t[tid]
+        gps = quat_rotate(qs, ps) + ts
+        gns = quat_rotate(qs, ns)
+        gpt = quat_rotate(qt, pt) + tt
+        gnt = quat_rotate(qt, nt)
+
+        diff = gpt - gps
+        r1 = jnp.sum(gns * diff, -1)  # src-normal residual
+        r2 = -jnp.sum(gnt * diff, -1)  # tgt-normal residual: n_t.(p_s - p_t)
+
+        j1_tgt = jnp.concatenate([gns, jnp.cross(gpt, gns)], -1)  # (m,6)
+        j2_src = jnp.concatenate([gnt, jnp.cross(gps, gnt)], -1)
+
+        oh_src = jax.nn.one_hot(sid, C, dtype=ps.dtype)  # (m,C)
+        oh_tgt = jax.nn.one_hot(tid, C, dtype=ps.dtype)
+        sw = jnp.sqrt(w)
+        rows1 = (oh_tgt[:, :, None] - oh_src[:, :, None]) * j1_tgt[:, None, :]
+        rows2 = (oh_src[:, :, None] - oh_tgt[:, :, None]) * j2_src[:, None, :]
+        rows = jnp.concatenate([rows1, rows2], 0).reshape(-1, 6 * C)
+        rows = rows * jnp.concatenate([sw, sw], 0)[:, None]
+        r = jnp.concatenate([r1 * sw, r2 * sw], 0)
+
+        H = jax.lax.dot_general(
+            rows, rows, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        b = jnp.sum(rows * r[:, None], 0)
+        cost = jnp.sum(r * r)
+        return H, b, cost
+
+    M = ps.shape[0]
+    pad = (-M) % chunk
+    def p(x, v=0):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1), constant_values=v)
+
+    args = (
+        p(ps).reshape(-1, chunk, 3), p(ns).reshape(-1, chunk, 3),
+        p(pt).reshape(-1, chunk, 3), p(nt).reshape(-1, chunk, 3),
+        p(src_id).reshape(-1, chunk), p(tgt_id).reshape(-1, chunk),
+        p(w).reshape(-1, chunk),
+    )
+    H, b, cost = jax.lax.map(one_chunk, args)
+    return jnp.sum(H, 0), jnp.sum(b, 0), jnp.sum(cost)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _icp_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, chunk: int = 65536):
+    def one_chunk(args):
+        ps, ns, pt, nt, sid, tid, w = args
+        gps = quat_rotate(q[sid], ps) + t[sid]
+        gns = quat_rotate(q[sid], ns)
+        gpt = quat_rotate(q[tid], pt) + t[tid]
+        gnt = quat_rotate(q[tid], nt)
+        diff = gpt - gps
+        r1 = jnp.sum(gns * diff, -1)
+        r2 = jnp.sum(gnt * diff, -1)
+        return jnp.sum(w * (r1 * r1 + r2 * r2))
+
+    M = ps.shape[0]
+    pad = (-M) % chunk
+    def p(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    args = (
+        p(ps).reshape(-1, chunk, 3), p(ns).reshape(-1, chunk, 3),
+        p(pt).reshape(-1, chunk, 3), p(nt).reshape(-1, chunk, 3),
+        p(src_id).reshape(-1, chunk), p(tgt_id).reshape(-1, chunk),
+        p(w).reshape(-1, chunk),
+    )
+    return jnp.sum(jax.lax.map(one_chunk, args))
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _bbox_overlap(a_min, a_max, b_min, b_max) -> bool:
+    return bool(np.all(a_min <= b_max) and np.all(b_min <= a_max))
+
+
+def _bucket(n: int, minimum: int = 4096) -> int:
+    """Round up to a power of two to bound jit recompiles across outer iters."""
+    return max(minimum, 1 << int(math.ceil(math.log2(max(n, 1)))))
+
+
+@dataclass
+class ICPResult:
+    poses: List[np.ndarray]  # per movable cloud: global_T_cloud (4,4)
+    converged: bool
+    iterations: int
+    final_cost: float
+    num_correspondences: int = 0
+
+
+class PointToPlaneICP:
+    """Multi-cloud symmetric point-to-plane ICP (API mirrors the reference's
+    ``PointToPlaneICP::AddPointCloud/Run/GetResultGlobalTCloud``)."""
+
+    def __init__(self):
+        self._clouds: List[Tuple[np.ndarray, np.ndarray]] = []  # local points, normals
+        self._poses: List[np.ndarray] = []  # global_T_cloud (4,4)
+        self._fixed: List[Tuple[np.ndarray, np.ndarray]] = []  # global frame
+
+    def add_point_cloud(self, points, normals, global_T_cloud=None, fixed=False):
+        points = np.ascontiguousarray(points, np.float32)
+        normals = np.ascontiguousarray(normals, np.float32)
+        T = np.eye(4, dtype=np.float64) if global_T_cloud is None else np.asarray(global_T_cloud, np.float64)
+        if fixed:
+            R, tr = T[:3, :3], T[:3, 3]
+            self._fixed.append(((points @ R.T + tr).astype(np.float32),
+                                (normals @ R.T).astype(np.float32)))
+        else:
+            self._clouds.append((points, normals))
+            self._poses.append(T)
+        return len(self._clouds) - 1
+
+    def get_result_global_T_cloud(self, index: int) -> np.ndarray:
+        return self._poses[index]
+
+    # -- correspondence search ------------------------------------------------
+
+    def _find_all_correspondences(self, globals_: List[Tuple[np.ndarray, np.ndarray]],
+                                  max_dist: float):
+        """Returns concatenated (src_id, tgt_id, ps, ns, pt, nt) arrays.
+
+        Cloud ids: 0 = fixed concatenation (if present), movable clouds
+        follow. Matches the reference's pair enumeration
+        (``icp_point_to_plane.cc:208-309``).
+        """
+        has_fixed = len(self._fixed) > 0
+        entries = []  # (points, normals, movable_index or None)
+        if has_fixed:
+            fpts = np.concatenate([p for p, _ in self._fixed])
+            fnrm = np.concatenate([n for _, n in self._fixed])
+            entries.append((fpts, fnrm))
+        entries.extend(globals_)
+
+        bboxes = [(p.min(0) - max_dist, p.max(0) + max_dist) for p, _ in entries]
+        grids = {}
+
+        def grid_of(j):
+            if j not in grids:
+                grids[j] = build_grid(entries[j][0], max_dist)
+            return grids[j]
+
+        out = {k: [] for k in ("sid", "tid", "ps", "ns", "pt", "nt")}
+        n_entries = len(entries)
+        first_movable = 1 if has_fixed else 0
+        for i in range(n_entries):
+            for j in range(n_entries):
+                if i == j:
+                    continue
+                # reference searches movable->movable pairs both ways and
+                # fixed<->movable both ways, but never fixed->fixed
+                if i < first_movable and j < first_movable:
+                    continue
+                if not _bbox_overlap(bboxes[i][0], bboxes[i][1], bboxes[j][0], bboxes[j][1]):
+                    continue
+                src_pts, src_nrm = entries[i]
+                tgt_pts, tgt_nrm = entries[j]
+                d2, idx = nearest_neighbor(grid_of(j), jnp.asarray(src_pts))
+                d2 = np.asarray(d2)
+                idx = np.asarray(idx)
+                keep = (idx >= 0) & (d2 <= max_dist * max_dist)
+                if not keep.any():
+                    continue
+                sidx = np.nonzero(keep)[0]
+                tidx = idx[keep]
+                out["sid"].append(np.full(len(sidx), i, np.int32))
+                out["tid"].append(np.full(len(sidx), j, np.int32))
+                out["ps"].append(src_pts[sidx])
+                out["ns"].append(src_nrm[sidx])
+                out["pt"].append(tgt_pts[tidx])
+                out["nt"].append(tgt_nrm[tidx])
+        if not out["sid"]:
+            return None
+        return {k: np.concatenate(v) for k, v in out.items()}
+
+    # -- inner LM -------------------------------------------------------------
+
+    def _inner_lm(self, corr, num_entries: int, max_iterations: int,
+                  convergence_threshold: float):
+        """LM over per-cloud corrections with fixed correspondences.
+
+        Returns per-entry correction SE3 (q, t) as numpy arrays.
+        """
+        C = num_entries
+        M = len(corr["sid"])
+        B = _bucket(M)
+        pad = B - M
+
+        def pd(x):
+            return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+        ps = jnp.asarray(pd(corr["ps"]))
+        ns = jnp.asarray(pd(corr["ns"]))
+        pt = jnp.asarray(pd(corr["pt"]))
+        nt = jnp.asarray(pd(corr["nt"]))
+        sid = jnp.asarray(pd(corr["sid"]))
+        tid = jnp.asarray(pd(corr["tid"]))
+        w = jnp.asarray(np.pad(np.ones(M, np.float32), (0, pad)))
+
+        q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (C, 1))
+        t = jnp.zeros((C, 3), jnp.float32)
+        lam = 0.1
+        n_var = 6 * (C - 1)
+        if n_var == 0:
+            return np.asarray(q), np.asarray(t)
+
+        for it in range(max_iterations):
+            H, b, cost = _icp_hb_cost(q, t, ps, ns, pt, nt, sid, tid, w, C)
+            Hn = np.asarray(H, np.float64)[6:, 6:]
+            bn = np.asarray(b, np.float64)[6:]
+            cost = float(cost)
+
+            applied = False
+            for _ in range(10):
+                Hlm = Hn + lam * np.eye(n_var)
+                try:
+                    x = np.linalg.solve(Hlm, bn)
+                except np.linalg.LinAlgError:
+                    lam *= 2.0
+                    continue
+                delta = np.concatenate([np.zeros(6), -x]).reshape(C, 6).astype(np.float32)
+                dT = SE3.exp(jnp.asarray(delta))
+                cur = SE3(q, t)
+                cand = dT.compose(cur)
+                new_cost = float(_icp_cost(cand.q, cand.t, ps, ns, pt, nt, sid, tid, w))
+                if new_cost < cost:
+                    q, t = cand.q, cand.t
+                    lam *= 0.5
+                    applied = True
+                    break
+                lam *= 2.0
+            if not applied:
+                break
+            if np.linalg.norm(x) < convergence_threshold:
+                break
+        return np.asarray(q), np.asarray(t)
+
+    # -- public driver --------------------------------------------------------
+
+    def run(self, max_correspondence_distance: float, max_num_iterations: int = 100,
+            convergence_threshold_max_movement: float = 1e-10,
+            inner_max_iterations: int = 150, inner_convergence_threshold: float = 1e-7,
+            print_progress: bool = False) -> ICPResult:
+        has_fixed = len(self._fixed) > 0
+        total_corr = 0
+        converged = False
+        it = 0
+        for it in range(max_num_iterations):
+            globals_ = []
+            for (pts, nrm), T in zip(self._clouds, self._poses):
+                R, tr = T[:3, :3].astype(np.float32), T[:3, 3].astype(np.float32)
+                globals_.append((pts @ R.T + tr, nrm @ R.T))
+
+            corr = self._find_all_correspondences(globals_, max_correspondence_distance)
+            if corr is None:
+                break
+            total_corr = len(corr["sid"])
+            num_entries = len(self._clouds) + (1 if has_fixed else 0)
+            q, t = self._inner_lm(corr, num_entries, inner_max_iterations,
+                                  inner_convergence_threshold)
+
+            first_movable = 1 if has_fixed else 0
+            max_move = 0.0
+            from dataset_pipeline_tpu.models.lie import quat_to_matrix
+
+            for ci in range(len(self._clouds)):
+                e = first_movable + ci
+                Rc = np.asarray(quat_to_matrix(jnp.asarray(q[e])), np.float64)
+                tc = np.asarray(t[e], np.float64)
+                corr_T = np.eye(4)
+                corr_T[:3, :3] = Rc
+                corr_T[:3, 3] = tc
+                new_T = corr_T @ self._poses[ci]
+                max_move = max(max_move, float(np.linalg.norm(new_T[:3, 3] - self._poses[ci][:3, 3])))
+                self._poses[ci] = new_T
+            if print_progress:
+                print(f"icp outer iter {it}: {total_corr} correspondences, max movement {max_move:.3e}")
+            if max_move < convergence_threshold_max_movement:
+                converged = True
+                break
+        return ICPResult([p.copy() for p in self._poses], converged, it + 1, 0.0, total_corr)

@@ -1,0 +1,77 @@
+"""ICP tests mirroring the reference ``opt/test/test_icp.cc`` strategy."""
+
+import numpy as np
+
+from dataset_pipeline_tpu.icp.point_to_plane import PointToPlaneICP
+
+RNG = np.random.RandomState(0)
+
+
+def _random_rotation(max_angle_deg):
+    axis = RNG.randn(3)
+    axis /= np.linalg.norm(axis)
+    angle = np.deg2rad(RNG.uniform(-max_angle_deg, max_angle_deg))
+    K = np.asarray(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
+
+
+def test_identical_cloud_alignment():
+    """20 randomly perturbed copies of one cloud must align to a common pose
+    (reference tolerance 1e-5 per matrix entry; we allow 5e-5 for f32 H,b)."""
+    n = 50
+    pts = RNG.uniform(-1, 1, (n, 3)).astype(np.float32)
+    normals = RNG.randn(n, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+
+    icp = PointToPlaneICP()
+    num_clouds = 20
+    for i in range(num_clouds):
+        T = np.eye(4)
+        T[:3, :3] = _random_rotation(10.0)
+        T[:3, 3] = RNG.uniform(-0.05, 0.05, 3)
+        icp.add_point_cloud(pts, normals, T)
+
+    res = icp.run(0.15 * np.sqrt(3), max_num_iterations=100,
+                  convergence_threshold_max_movement=1e-7)
+    T0 = res.poses[0]
+    for i in range(1, num_clouds):
+        np.testing.assert_allclose(res.poses[i], T0, atol=5e-5)
+
+
+def test_plane_with_single_point():
+    """Reference TestPlaneWithSinglePoint: a 50x50 unit grid plus one point at
+    (0,0,20) with normal (1,0,1)/sqrt(2); a second copy of the cloud offset by
+    one grid cell must snap to the SAME pose as the first copy (the off-plane
+    point disambiguates the one-cell aliasing)."""
+    xs, ys = np.meshgrid(np.arange(50.0), np.arange(50.0))
+    plane = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)], -1).astype(np.float32)
+    plane_n = np.tile(np.asarray([[0, 0, 1]], np.float32), (len(plane), 1))
+    extra = np.asarray([[0.0, 0.0, 20.0]], np.float32)
+    extra_n = np.asarray([[1.0, 0.0, 1.0]], np.float32) / np.sqrt(2.0)
+    pts = np.concatenate([plane, extra])
+    nrm = np.concatenate([plane_n, extra_n])
+
+    icp = PointToPlaneICP()
+    icp.add_point_cloud(pts, nrm, np.eye(4))
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 0.0, 0.0]
+    icp.add_point_cloud(pts, nrm, T)
+
+    res = icp.run(1.5, max_num_iterations=100, convergence_threshold_max_movement=1e-7)
+    np.testing.assert_allclose(res.poses[1], res.poses[0], atol=1e-5)
+
+
+def test_fixed_cloud_stays_fixed():
+    pts = RNG.uniform(-1, 1, (200, 3)).astype(np.float32)
+    normals = RNG.randn(200, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    icp = PointToPlaneICP()
+    icp.add_point_cloud(pts, normals, np.eye(4), fixed=True)
+    T = np.eye(4)
+    T[:3, 3] = [0.03, -0.02, 0.04]
+    icp.add_point_cloud(pts, normals, T)
+    res = icp.run(0.3, max_num_iterations=50, convergence_threshold_max_movement=1e-7)
+    # movable cloud must come back to identity (the fixed cloud's frame)
+    np.testing.assert_allclose(res.poses[0], np.eye(4), atol=5e-4)
