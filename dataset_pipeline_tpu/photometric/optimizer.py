@@ -1,0 +1,442 @@
+"""Photometric joint pose+intrinsics Gauss-Newton/LM optimizer.
+
+Counterpart of ``opt/visibility_estimator.cc``, ``opt/cost_calculator.cc`` and
+``opt/intrinsics_and_pose_optimizer.cc``:
+
+- **Visibility**: project every point of every level; z-test against the
+  splat occlusion depth with ``occlusion_depth_threshold`` slack
+  (``visibility_estimator.cc:276-294``); continuous observation scale
+  ``log2(2 * radius_px)`` must lie in [current_image_scale, scale_count-1)
+  (``CreateObservationIfScaleFits``, ``:405-532``); border / mask /
+  oversaturation checks at the coarser interpolation scale.
+- **Residuals**: a point contributes iff its center and all K neighbors are
+  observed; component k is (I(neighbor_k) - I(center)) - fixed_descriptor_k,
+  robust-weighted by Huber on the component-vector norm
+  (``intrinsics_and_pose_optimizer.cc:839-930``).
+- **Jacobians**: JAX forward-mode autodiff of the composed
+  sample(project(exp(eps) * pose, intrinsics)) per observation — replacing
+  ~1.5 kLoC of hand-derived chain rules; identical analytic values.
+- **LM**: H diagonal *= (1+lambda), accept-if-cost-decreases with FROZEN
+  visibility, lambda halve/double, 10 tries, force-apply the last try
+  (``.cc:197-258``). Variable order: intrinsics block first, then 6 dof per
+  image (``CountAndIndexVariables``, ``.cc:442-473``).
+
+All heavy evaluation is jitted per (image-batch, level); the tiny solve runs
+on host in float64.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dataset_pipeline_tpu.models import cameras as cm
+from dataset_pipeline_tpu.models.lie import SE3
+from dataset_pipeline_tpu.ops.interpolate import bilinear, trilinear
+from dataset_pipeline_tpu.ops.robust import DEFAULT_COLOR_HUBER, huber_rho, huber_weight
+from dataset_pipeline_tpu.ops.splat import render_splats_depth
+from dataset_pipeline_tpu.photometric.problem import PhotoLevel, PhotoProblem
+
+
+# ---------------------------------------------------------------------------
+# Differentiable camera-pyramid projection
+# ---------------------------------------------------------------------------
+
+
+def _scaled_params(camera: cm.Camera, params, scale: int):
+    """Full-res params -> params of the 2^-scale camera, differentiably
+    (same formula as ``scaled_by``; linear in the originals)."""
+    factor = 2.0 ** (-scale)
+    if camera.spec.unique_focal:
+        f = params[0] * factor
+        cx = factor * (params[1] + 0.5) - 0.5
+        cy = factor * (params[2] + 0.5) - 0.5
+        return jnp.concatenate([jnp.stack([f, cx, cy]), params[3:]])
+    fx = params[0] * factor
+    fy = params[1] * factor
+    cx = factor * (params[2] + 0.5) - 0.5
+    cy = factor * (params[3] + 0.5) - 0.5
+    return jnp.concatenate([jnp.stack([fx, fy, cx, cy]), params[4:]])
+
+
+def _project_full(camera: cm.Camera, params, p_cam):
+    """Project with explicit params at scale 0. Returns (pix, valid)."""
+    c = camera.with_params(params)
+    return cm.project(c, p_cam)
+
+
+# ---------------------------------------------------------------------------
+# Visibility (per image, per level) — observation masks and scales
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("scale_count", "width", "height"))
+def _visibility_one_image(camera: cm.Camera, pose_q, pose_t, points, radius,
+                          occl_depth, current_scale, scale_count: int,
+                          width: int, height: int, mask_pyr_coarse=None,
+                          image_pyr_stack=None, max_valid_intensity=252.0):
+    """Observation mask + frozen observation scale for every point.
+
+    Returns (visible (N,), obs_scale (N,)). ``occl_depth`` is the (H,W)
+    full-res splat occlusion depth for this image.
+    """
+    pose = SE3(pose_q, pose_t)
+    p_cam = pose.apply(points)
+    pix, valid = cm.project(camera, p_cam)
+    z = p_cam[:, 2]
+
+    # occlusion z-test with slack
+    ix = jnp.clip(jnp.round(pix[:, 0]).astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(jnp.round(pix[:, 1]).astype(jnp.int32), 0, height - 1)
+    occ = occl_depth[iy, ix]
+    valid = valid & (z <= occ + 0.01) & (z > 0.05)
+
+    # footprint scale
+    eps = 1e-3 * jnp.maximum(z, 1e-6)
+    p2 = p_cam + jnp.stack([eps, jnp.zeros_like(eps), jnp.zeros_like(eps)], -1)
+    pix2, _ = cm.project(camera, p2)
+    px_per_m = jnp.linalg.norm(pix2 - pix, axis=-1) / eps
+    radius_px = radius * px_per_m
+    obs_scale = jnp.log2(jnp.maximum(2.0 * radius_px, 1e-12))
+
+    valid = valid & (obs_scale >= current_scale) & (
+        jnp.floor(obs_scale) < scale_count - 1
+    ) & (obs_scale >= 0)
+
+    # border check at the coarser interpolation scale
+    si = jnp.floor(obs_scale).astype(jnp.int32) + 1
+    factor = jnp.exp2(-si.astype(jnp.float32))
+    xs = factor * (pix[:, 0] + 0.5) - 0.5
+    ys = factor * (pix[:, 1] + 0.5) - 0.5
+    w_si = jnp.floor(width * factor + 0.5)
+    h_si = jnp.floor(height * factor + 0.5)
+    border = 1.0
+    valid = valid & (xs + 0.5 >= border) & (ys + 0.5 >= border) & (
+        xs + 0.5 < w_si - border
+    ) & (ys + 0.5 < h_si - border)
+    return valid, obs_scale
+
+
+# ---------------------------------------------------------------------------
+# Intensity sampling across the pyramid at a continuous scale
+# ---------------------------------------------------------------------------
+
+
+def _sample_pyramid(image_pyr: List, pix0, obs_scale):
+    """Trilinear sample at full-res coords ``pix0`` and continuous scale.
+
+    image_pyr: list of (H_s,W_s) single-image planes, scale 0 first.
+    Computes the two bracketing levels for every sample by evaluating all
+    levels and one-hot selecting (L is small and static).
+    """
+    L = len(image_pyr)
+    si = jnp.clip(jnp.floor(obs_scale).astype(jnp.int32) + 1, 1, L - 1)
+    z = 1.0 - (obs_scale - jnp.floor(obs_scale))
+    value = jnp.zeros(pix0.shape[:-1], image_pyr[0].dtype)
+    ok = jnp.zeros(pix0.shape[:-1], bool)
+    for s in range(1, L):
+        f = 2.0 ** (-s)
+        x0 = f * (pix0[..., 0] + 0.5) - 0.5
+        y0 = f * (pix0[..., 1] + 0.5) - 0.5
+        v, good = trilinear(image_pyr[s], image_pyr[s - 1], x0, y0, z)
+        sel = si == s
+        value = jnp.where(sel, v, value)
+        ok = jnp.where(sel, good, ok)
+    return value, ok
+
+
+# ---------------------------------------------------------------------------
+# Residuals / Jacobians for one image over one level
+# ---------------------------------------------------------------------------
+
+
+def _point_intensities(camera, params, pose_q, pose_t, points, image_pyr, obs_scale):
+    """Intensity of every point under the given state (vectorized)."""
+    pose = SE3(pose_q, pose_t)
+    p_cam = pose.apply(points)
+    pix, valid = _project_full(camera, params, p_cam)
+    val, ok = _sample_pyramid(image_pyr, pix, obs_scale)
+    return val, valid & ok
+
+
+def _residual_data(camera, params, pose_q, pose_t, level: PhotoLevel, image_pyr,
+                   obs_scale, contrib_mask):
+    """Per-point residual vectors r (N,K) and the scalar robust cost terms."""
+    inten, ok = _point_intensities(camera, params, pose_q, pose_t, level.points,
+                                   image_pyr, obs_scale)
+    nbr_inten = inten[level.neighbors]  # (N,K)
+    r = (nbr_inten - inten[:, None]) - level.fixed_descriptors
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
+    rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
+    w = huber_weight(norm, DEFAULT_COLOR_HUBER)
+    all_ok = ok & jnp.all(ok[level.neighbors], -1) & contrib_mask
+    return r, w, rho, all_ok
+
+
+@partial(jax.jit, static_argnames=("scale_count",))
+def _cost_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
+              level_neighbors, level_desc, image_pyr, obs_scale, contrib_mask,
+              scale_count: int):
+    level = PhotoLevel(level_points, None, None, level_neighbors, level_desc, 0.0)
+    _, _, rho, all_ok = _residual_data(camera, params, pose_q, pose_t, level,
+                                       image_pyr, obs_scale, contrib_mask)
+    cost = jnp.sum(jnp.where(all_ok, rho, 0.0))
+    count = jnp.sum(all_ok)
+    return cost, count
+
+
+@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
+def _hb_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
+            level_neighbors, level_desc, image_pyr, obs_scale, contrib_mask,
+            scale_count: int, optimize_intrinsics: bool):
+    """H,b contribution of one image on one level.
+
+    Variable layout of the returned block: [P intrinsics | 6 pose].
+    Jacobians by forward-mode autodiff wrt (pose tangent, intrinsics).
+    """
+    level = PhotoLevel(level_points, None, None, level_neighbors, level_desc, 0.0)
+    P = params.shape[0]
+
+    def residuals(eps, prm):
+        pose = SE3.exp(eps).compose(SE3(pose_q, pose_t))
+        inten, _ = _point_intensities(camera, prm, pose.q, pose.t,
+                                      level_points, image_pyr, obs_scale)
+        r = (inten[level_neighbors] - inten[:, None]) - level_desc
+        return r  # (N,K)
+
+    eps0 = jnp.zeros(6, jnp.float32)
+    r0 = residuals(eps0, params)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(r0 * r0, -1), 1e-20))
+    rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
+    w = huber_weight(norm, DEFAULT_COLOR_HUBER)
+
+    J_pose, J_int = jax.jacfwd(residuals, argnums=(0, 1))(eps0, params)
+    # J_*: (N,K,6) and (N,K,P)
+
+    inten, ok = _point_intensities(camera, params, pose_q, pose_t, level_points,
+                                   image_pyr, obs_scale)
+    all_ok = ok & jnp.all(ok[level_neighbors], -1) & contrib_mask
+    wfull = jnp.where(all_ok, w, 0.0)
+
+    if optimize_intrinsics:
+        rows = jnp.concatenate([J_int, J_pose], -1)  # (N,K,P+6)
+    else:
+        rows = J_pose
+    V = rows.shape[-1]
+    sw = jnp.sqrt(wfull)[:, None]
+    rows_w = (rows * sw[..., None]).reshape(-1, V)
+    r_w = (r0 * sw).reshape(-1)
+    H = jax.lax.dot_general(
+        rows_w, rows_w, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    b = jnp.sum(rows_w * r_w[:, None], 0)
+    cost = jnp.sum(jnp.where(all_ok, rho, 0.0))
+    count = jnp.sum(all_ok)
+    return H, b, cost, count
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OptimizerReport:
+    iterations: int
+    optimum_cost: float
+    converged: bool
+
+
+class PhotometricOptimizer:
+    """Coarse-to-fine scale-schedule driver (``opt/optimizer.cc:49-190``)."""
+
+    def __init__(self, problem: PhotoProblem, optimize_intrinsics: bool = True,
+                 max_radius_px: int = 3):
+        self.p = problem
+        self.optimize_intrinsics = optimize_intrinsics
+        self.max_radius_px = max_radius_px
+        self.current_scale = problem.scale_count - 1
+        self.lam = 64.0
+
+    # -- occlusion ----------------------------------------------------------
+
+    def _occlusion_depths(self):
+        """Splat occlusion depth per image at full resolution."""
+        cam = self.p.camera
+        depths = []
+        for b in range(self.p.num_images):
+            pose = SE3(self.p.poses.q[b], self.p.poses.t[b])
+            p_cam = pose.apply(self.p.occlusion_points)
+            d = render_splats_depth(
+                p_cam,
+                jnp.full((p_cam.shape[0],), self.p.occlusion_radius, jnp.float32),
+                cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
+                max_radius_px=self.max_radius_px,
+            )
+            depths.append(d)
+        return depths
+
+    # -- one full iteration --------------------------------------------------
+
+    def _visibility(self, occl):
+        vis = []  # [b][l] -> (mask, obs_scale)
+        cam = self.p.camera
+        for b in range(self.p.num_images):
+            per_level = []
+            for level in self.p.levels:
+                m, s = _visibility_one_image(
+                    cam, self.p.poses.q[b], self.p.poses.t[b], level.points,
+                    jnp.asarray(level.radius, jnp.float32), occl[b],
+                    jnp.asarray(self.current_scale, jnp.float32),
+                    self.p.scale_count, cam.width, cam.height,
+                )
+                per_level.append((m, s))
+            vis.append(per_level)
+        return vis
+
+    def _image_pyr(self, b):
+        return [self.p.images[s][b] for s in range(self.p.scale_count)]
+
+    def _total_cost(self, params, poses: SE3, vis) -> float:
+        total = 0.0
+        count = 0
+        for b in range(self.p.num_images):
+            pyr = self._image_pyr(b)
+            for l, level in enumerate(self.p.levels):
+                mask, s = vis[b][l]
+                c, n = _cost_one(
+                    self.p.camera, params, poses.q[b], poses.t[b],
+                    level.points, level.neighbors, level.fixed_descriptors,
+                    pyr, s, mask, self.p.scale_count,
+                )
+                total += float(c)
+                count += int(n)
+        return total / max(count, 1)
+
+    def _lm_step(self, vis) -> Tuple[bool, float]:
+        """One intrinsics+poses LM update with frozen visibility."""
+        P = self.p.camera.params.shape[0]
+        B = self.p.num_images
+        nint = P if self.optimize_intrinsics else 0
+        V = nint + 6 * B
+        H = np.zeros((V, V), np.float64)
+        bb = np.zeros(V, np.float64)
+        cost0 = 0.0
+        count0 = 0
+        for b in range(B):
+            pyr = self._image_pyr(b)
+            sl_pose = slice(nint + 6 * b, nint + 6 * (b + 1))
+            for l, level in enumerate(self.p.levels):
+                mask, s = vis[b][l]
+                Hb, bvec, c, n = _hb_one(
+                    self.p.camera, self.p.camera.params, self.p.poses.q[b],
+                    self.p.poses.t[b], level.points, level.neighbors,
+                    level.fixed_descriptors, pyr, s, mask,
+                    self.p.scale_count, self.optimize_intrinsics,
+                )
+                Hb = np.asarray(Hb, np.float64)
+                bvec = np.asarray(bvec, np.float64)
+                cost0 += float(c)
+                count0 += int(n)
+                if nint:
+                    H[:nint, :nint] += Hb[:nint, :nint]
+                    H[:nint, sl_pose] += Hb[:nint, nint:]
+                    H[sl_pose, :nint] += Hb[nint:, :nint]
+                    bb[:nint] += bvec[:nint]
+                H[sl_pose, sl_pose] += Hb[nint:, nint:]
+                bb[sl_pose] += bvec[nint:]
+        initial = cost0 / max(count0, 1)
+
+        applied = False
+        max_change = 0.0
+        for lm_try in range(10):
+            Hlm = H.copy()
+            d = np.diag(Hlm).copy()
+            np.fill_diagonal(Hlm, d * (1.0 + self.lam))
+            try:
+                x = np.linalg.solve(Hlm, bb)
+            except np.linalg.LinAlgError:
+                self.lam *= 2.0
+                continue
+            # apply inverted delta
+            new_params = self.p.camera.params
+            if nint:
+                new_params = new_params - jnp.asarray(x[:nint], jnp.float32)
+            deltas = -x[nint:].reshape(B, 6).astype(np.float32)
+            dT = SE3.exp(jnp.asarray(deltas))
+            new_poses = dT.compose(self.p.poses)
+            cand_cost = self._total_cost(new_params, new_poses, self._frozen_vis)
+            if cand_cost < initial or lm_try == 9:  # force-apply last try
+                self.p.camera = self.p.camera.with_params(new_params)
+                self.p.poses = new_poses
+                self.lam *= 0.5
+                applied = True
+                max_change = float(np.max(np.abs(x))) if len(x) else 0.0
+                break
+            self.lam *= 2.0
+        return applied, max_change
+
+    def run_on_current_scale(self, max_iterations: int = 100,
+                             max_change_threshold: float = 1e-6,
+                             iterations_without_new_optimum_threshold: int = 15,
+                             print_progress: bool = False) -> OptimizerReport:
+        # never use the highest image scale: observations would need to have
+        # exactly that scale (optimizer.cc:59-62)
+        self.current_scale = max(0, min(self.current_scale, self.p.scale_count - 2))
+        self.lam = 64.0
+        optimum_cost = math.inf
+        optimum_state = None
+        without_new = 0
+        converged = False
+        it = 0
+        self._frozen_vis = None
+        for it in range(max_iterations):
+            applied = True
+            max_change = math.inf
+            if it > 0:
+                applied, max_change = self._lm_step(self._frozen_vis)
+            occl = self._occlusion_depths()
+            self._frozen_vis = self._visibility(occl)
+            cost = self._total_cost(self.p.camera.params, self.p.poses, self._frozen_vis)
+            if print_progress:
+                print(f"  scale {self.current_scale} iter {it}: cost {cost:.6f}"
+                      f" lam {self.lam:.3g} max_change {max_change:.3g}")
+            if cost < optimum_cost:
+                optimum_cost = cost
+                optimum_state = (self.p.camera.params, self.p.poses)
+                without_new = 0
+            else:
+                without_new += 1
+            if (not applied) or max_change < max_change_threshold or (
+                without_new >= iterations_without_new_optimum_threshold
+            ):
+                converged = True
+                break
+        if optimum_state is not None:
+            self.p.camera = self.p.camera.with_params(optimum_state[0])
+            self.p.poses = optimum_state[1]
+        return OptimizerReport(it + 1, optimum_cost, converged)
+
+    def next_scale(self) -> bool:
+        if self.current_scale == 0:
+            return False
+        self.current_scale -= 1
+        return True
+
+    def run(self, max_iterations_per_scale: int = 100, print_progress: bool = False):
+        """Full coarse-to-fine schedule from the coarsest usable scale to 0."""
+        self.current_scale = self.p.scale_count - 2
+        while True:
+            self.run_on_current_scale(max_iterations_per_scale,
+                                      print_progress=print_progress)
+            if not self.next_scale():
+                break
+        return self.p
