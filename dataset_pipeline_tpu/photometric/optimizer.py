@@ -256,7 +256,13 @@ class OptimizerReport:
 
 
 class PhotometricOptimizer:
-    """Coarse-to-fine scale-schedule driver (``opt/optimizer.cc:49-190``)."""
+    """Coarse-to-fine scale-schedule driver over image groups
+    (``opt/optimizer.cc:49-190``).
+
+    Variable layout (``CountAndIndexVariables``, ``.cc:442-473``): one
+    intrinsics block per group first, then 6 pose dofs per image, ordered by
+    group then image.
+    """
 
     def __init__(self, problem: PhotoProblem, optimize_intrinsics: bool = True,
                  max_radius_px: int = 3):
@@ -265,94 +271,125 @@ class PhotometricOptimizer:
         self.max_radius_px = max_radius_px
         self.current_scale = problem.scale_count - 1
         self.lam = 64.0
+        self._frozen_vis = None
+
+    # -- variable indexing ---------------------------------------------------
+
+    def _var_layout(self):
+        offsets_int = []
+        off = 0
+        if self.optimize_intrinsics:
+            for g in self.p.groups:
+                offsets_int.append(off)
+                off += int(g.camera.params.shape[0])
+        else:
+            offsets_int = [None] * len(self.p.groups)
+        offsets_pose = []
+        for g in self.p.groups:
+            offsets_pose.append(off)
+            off += 6 * g.num_images
+        return offsets_int, offsets_pose, off
 
     # -- occlusion ----------------------------------------------------------
 
     def _occlusion_depths(self):
-        """Splat occlusion depth per image at full resolution."""
-        cam = self.p.camera
-        depths = []
-        for b in range(self.p.num_images):
-            pose = SE3(self.p.poses.q[b], self.p.poses.t[b])
-            p_cam = pose.apply(self.p.occlusion_points)
-            d = render_splats_depth(
-                p_cam,
-                jnp.full((p_cam.shape[0],), self.p.occlusion_radius, jnp.float32),
-                cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
-                max_radius_px=self.max_radius_px,
-            )
-            depths.append(d)
-        return depths
+        """Splat occlusion depth per (group, image) at the group's full res."""
+        out = []
+        for g in self.p.groups:
+            cam = g.camera
+            per_image = []
+            for b in range(g.num_images):
+                pose = SE3(g.poses.q[b], g.poses.t[b])
+                p_cam = pose.apply(self.p.occlusion_points)
+                d = render_splats_depth(
+                    p_cam,
+                    jnp.full((p_cam.shape[0],), self.p.occlusion_radius, jnp.float32),
+                    cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
+                    max_radius_px=self.max_radius_px,
+                )
+                per_image.append(d)
+            out.append(per_image)
+        return out
 
-    # -- one full iteration --------------------------------------------------
+    # -- visibility ----------------------------------------------------------
 
     def _visibility(self, occl):
-        vis = []  # [b][l] -> (mask, obs_scale)
-        cam = self.p.camera
-        for b in range(self.p.num_images):
-            per_level = []
-            for level in self.p.levels:
-                m, s = _visibility_one_image(
-                    cam, self.p.poses.q[b], self.p.poses.t[b], level.points,
-                    jnp.asarray(level.radius, jnp.float32), occl[b],
-                    jnp.asarray(self.current_scale, jnp.float32),
-                    self.p.scale_count, cam.width, cam.height,
-                )
-                per_level.append((m, s))
-            vis.append(per_level)
+        """vis[gi][b][l] = (mask, local_obs_scale) on the group's scale axis."""
+        vis = []
+        for gi, g in enumerate(self.p.groups):
+            cam = g.camera
+            local_current = max(self.current_scale - g.min_image_scale, 0)
+            g_vis = []
+            for b in range(g.num_images):
+                per_level = []
+                for level in self.p.levels:
+                    m, s = _visibility_one_image(
+                        cam, g.poses.q[b], g.poses.t[b], level.points,
+                        jnp.asarray(level.radius, jnp.float32), occl[gi][b],
+                        jnp.asarray(local_current, jnp.float32),
+                        g.level_count, cam.width, cam.height,
+                    )
+                    per_level.append((m, s))
+                g_vis.append(per_level)
+            vis.append(g_vis)
         return vis
 
-    def _image_pyr(self, b):
-        return [self.p.images[s][b] for s in range(self.p.scale_count)]
+    def _image_pyr(self, gi, b):
+        return [self.p.groups[gi].pyramid[s][b]
+                for s in range(self.p.groups[gi].level_count)]
 
-    def _total_cost(self, params, poses: SE3, vis) -> float:
+    # -- cost -----------------------------------------------------------------
+
+    def _total_cost(self, group_params, group_poses, vis) -> float:
         total = 0.0
         count = 0
-        for b in range(self.p.num_images):
-            pyr = self._image_pyr(b)
-            for l, level in enumerate(self.p.levels):
-                mask, s = vis[b][l]
-                c, n = _cost_one(
-                    self.p.camera, params, poses.q[b], poses.t[b],
-                    level.points, level.neighbors, level.fixed_descriptors,
-                    pyr, s, mask, self.p.scale_count,
-                )
-                total += float(c)
-                count += int(n)
+        for gi, g in enumerate(self.p.groups):
+            for b in range(g.num_images):
+                pyr = self._image_pyr(gi, b)
+                for l, level in enumerate(self.p.levels):
+                    mask, s = vis[gi][b][l]
+                    c, n = _cost_one(
+                        g.camera, group_params[gi], group_poses[gi].q[b],
+                        group_poses[gi].t[b], level.points, level.neighbors,
+                        level.fixed_descriptors, pyr, s, mask, g.level_count,
+                    )
+                    total += float(c)
+                    count += int(n)
         return total / max(count, 1)
 
-    def _lm_step(self, vis) -> Tuple[bool, float]:
-        """One intrinsics+poses LM update with frozen visibility."""
-        P = self.p.camera.params.shape[0]
-        B = self.p.num_images
-        nint = P if self.optimize_intrinsics else 0
-        V = nint + 6 * B
+    # -- LM step --------------------------------------------------------------
+
+    def _lm_step(self, vis):
+        offsets_int, offsets_pose, V = self._var_layout()
         H = np.zeros((V, V), np.float64)
         bb = np.zeros(V, np.float64)
         cost0 = 0.0
         count0 = 0
-        for b in range(B):
-            pyr = self._image_pyr(b)
-            sl_pose = slice(nint + 6 * b, nint + 6 * (b + 1))
-            for l, level in enumerate(self.p.levels):
-                mask, s = vis[b][l]
-                Hb, bvec, c, n = _hb_one(
-                    self.p.camera, self.p.camera.params, self.p.poses.q[b],
-                    self.p.poses.t[b], level.points, level.neighbors,
-                    level.fixed_descriptors, pyr, s, mask,
-                    self.p.scale_count, self.optimize_intrinsics,
-                )
-                Hb = np.asarray(Hb, np.float64)
-                bvec = np.asarray(bvec, np.float64)
-                cost0 += float(c)
-                count0 += int(n)
-                if nint:
-                    H[:nint, :nint] += Hb[:nint, :nint]
-                    H[:nint, sl_pose] += Hb[:nint, nint:]
-                    H[sl_pose, :nint] += Hb[nint:, :nint]
-                    bb[:nint] += bvec[:nint]
-                H[sl_pose, sl_pose] += Hb[nint:, nint:]
-                bb[sl_pose] += bvec[nint:]
+        for gi, g in enumerate(self.p.groups):
+            P = int(g.camera.params.shape[0])
+            nint = P if self.optimize_intrinsics else 0
+            oi = offsets_int[gi]
+            for b in range(g.num_images):
+                pyr = self._image_pyr(gi, b)
+                sl_pose = slice(offsets_pose[gi] + 6 * b, offsets_pose[gi] + 6 * (b + 1))
+                for l, level in enumerate(self.p.levels):
+                    mask, s = vis[gi][b][l]
+                    Hb, bvec, c, n = _hb_one(
+                        g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
+                        level.points, level.neighbors, level.fixed_descriptors,
+                        pyr, s, mask, g.level_count, self.optimize_intrinsics,
+                    )
+                    Hb = np.asarray(Hb, np.float64)
+                    bvec = np.asarray(bvec, np.float64)
+                    cost0 += float(c)
+                    count0 += int(n)
+                    if nint:
+                        H[oi:oi + P, oi:oi + P] += Hb[:P, :P]
+                        H[oi:oi + P, sl_pose] += Hb[:P, P:]
+                        H[sl_pose, oi:oi + P] += Hb[P:, :P]
+                        bb[oi:oi + P] += bvec[:P]
+                    H[sl_pose, sl_pose] += Hb[nint:, nint:]
+                    bb[sl_pose] += bvec[nint:]
         initial = cost0 / max(count0, 1)
 
         applied = False
@@ -366,17 +403,24 @@ class PhotometricOptimizer:
             except np.linalg.LinAlgError:
                 self.lam *= 2.0
                 continue
-            # apply inverted delta
-            new_params = self.p.camera.params
-            if nint:
-                new_params = new_params - jnp.asarray(x[:nint], jnp.float32)
-            deltas = -x[nint:].reshape(B, 6).astype(np.float32)
-            dT = SE3.exp(jnp.asarray(deltas))
-            new_poses = dT.compose(self.p.poses)
+            new_params = []
+            new_poses = []
+            for gi, g in enumerate(self.p.groups):
+                P = int(g.camera.params.shape[0])
+                prm = g.camera.params
+                if self.optimize_intrinsics:
+                    oi = offsets_int[gi]
+                    prm = prm - jnp.asarray(x[oi:oi + P], jnp.float32)
+                new_params.append(prm)
+                op = offsets_pose[gi]
+                deltas = -x[op:op + 6 * g.num_images].reshape(g.num_images, 6)
+                dT = SE3.exp(jnp.asarray(deltas.astype(np.float32)))
+                new_poses.append(dT.compose(g.poses))
             cand_cost = self._total_cost(new_params, new_poses, self._frozen_vis)
             if cand_cost < initial or lm_try == 9:  # force-apply last try
-                self.p.camera = self.p.camera.with_params(new_params)
-                self.p.poses = new_poses
+                for gi, g in enumerate(self.p.groups):
+                    g.camera = g.camera.with_params(new_params[gi])
+                    g.poses = new_poses[gi]
                 self.lam *= 0.5
                 applied = True
                 max_change = float(np.max(np.abs(x))) if len(x) else 0.0
@@ -384,12 +428,13 @@ class PhotometricOptimizer:
             self.lam *= 2.0
         return applied, max_change
 
+    # -- schedule --------------------------------------------------------------
+
     def run_on_current_scale(self, max_iterations: int = 100,
                              max_change_threshold: float = 1e-6,
                              iterations_without_new_optimum_threshold: int = 15,
                              print_progress: bool = False) -> OptimizerReport:
-        # never use the highest image scale: observations would need to have
-        # exactly that scale (optimizer.cc:59-62)
+        # never use the highest image scale (optimizer.cc:59-62)
         self.current_scale = max(0, min(self.current_scale, self.p.scale_count - 2))
         self.lam = 64.0
         optimum_cost = math.inf
@@ -405,13 +450,17 @@ class PhotometricOptimizer:
                 applied, max_change = self._lm_step(self._frozen_vis)
             occl = self._occlusion_depths()
             self._frozen_vis = self._visibility(occl)
-            cost = self._total_cost(self.p.camera.params, self.p.poses, self._frozen_vis)
+            cost = self._total_cost(
+                [g.camera.params for g in self.p.groups],
+                [g.poses for g in self.p.groups],
+                self._frozen_vis,
+            )
             if print_progress:
                 print(f"  scale {self.current_scale} iter {it}: cost {cost:.6f}"
                       f" lam {self.lam:.3g} max_change {max_change:.3g}")
             if cost < optimum_cost:
                 optimum_cost = cost
-                optimum_state = (self.p.camera.params, self.p.poses)
+                optimum_state = [(g.camera.params, g.poses) for g in self.p.groups]
                 without_new = 0
             else:
                 without_new += 1
@@ -421,8 +470,9 @@ class PhotometricOptimizer:
                 converged = True
                 break
         if optimum_state is not None:
-            self.p.camera = self.p.camera.with_params(optimum_state[0])
-            self.p.poses = optimum_state[1]
+            for gi, g in enumerate(self.p.groups):
+                g.camera = g.camera.with_params(optimum_state[gi][0])
+                g.poses = optimum_state[gi][1]
         return OptimizerReport(it + 1, optimum_cost, converged)
 
     def next_scale(self) -> bool:
@@ -431,12 +481,15 @@ class PhotometricOptimizer:
         self.current_scale -= 1
         return True
 
-    def run(self, max_iterations_per_scale: int = 100, print_progress: bool = False):
-        """Full coarse-to-fine schedule from the coarsest usable scale to 0."""
+    def run(self, max_iterations_per_scale: int = 100, print_progress: bool = False,
+            on_scale_done=None):
+        """Full coarse-to-fine schedule down to scale 0."""
         self.current_scale = self.p.scale_count - 2
         while True:
-            self.run_on_current_scale(max_iterations_per_scale,
-                                      print_progress=print_progress)
+            report = self.run_on_current_scale(max_iterations_per_scale,
+                                               print_progress=print_progress)
+            if on_scale_done is not None:
+                on_scale_done(self, report)
             if not self.next_scale():
                 break
         return self.p

@@ -130,11 +130,12 @@ def align_pair(camera: cm.Camera, cloud_points: np.ndarray, cloud_colors: np.nda
         # derived like the reference test: a couple of pixels at scene depth
         splat_radius = float(np.median(cloud_points[:, 2])) * 2.0 / float(camera.fx)
 
+    from dataset_pipeline_tpu.photometric.problem import ImageGroup
+
+    group = ImageGroup(camera=camera, pyramid=pyr, poses=poses,
+                       image_ids=[0, 1], min_image_scale=0)
     problem = PhotoProblem(
-        camera=camera,
-        camera_pyramid=[cm.scaled_by(camera, 2.0 ** (-s)) for s in range(scale_count)],
-        images=pyr,
-        poses=poses,
+        groups=[group],
         levels=levels,
         occlusion_points=jnp.asarray(cloud_points, jnp.float32),
         occlusion_radius=splat_radius,
@@ -143,4 +144,5 @@ def align_pair(camera: cm.Camera, cloud_points: np.ndarray, cloud_colors: np.nda
     opt = PhotometricOptimizer(problem, optimize_intrinsics=optimize_intrinsics)
     opt.run(max_iterations_per_scale=max_iterations_per_scale,
             print_progress=print_progress)
-    return opt.p.poses, opt.p.camera
+    g = opt.p.groups[0]
+    return g.poses, g.camera

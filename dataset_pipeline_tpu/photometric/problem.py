@@ -66,22 +66,42 @@ class PhotoLevel:
 
 
 @dataclass
-class PhotoProblem:
-    camera: cm.Camera  # full-resolution camera (scale 0)
-    camera_pyramid: List[cm.Camera]  # per scale
-    images: List[jnp.ndarray]  # per scale (B,H_s,W_s) float32
+class ImageGroup:
+    """All images sharing one intrinsics (one reference ``Intrinsics`` entry).
+
+    ``min_image_scale`` is the GLOBAL scale index of this group's finest
+    pyramid level (``opt/problem.cc:488-491``: larger cameras have deeper
+    pyramids; smaller cameras start at a coarser global scale).
+    """
+
+    camera: cm.Camera  # camera of the group's finest level
+    pyramid: List[jnp.ndarray]  # per group level (B,H_l,W_l) float32
     poses: SE3  # (B,) image_T_global
-    levels: List[PhotoLevel]
+    image_ids: List[int]
+    min_image_scale: int = 0
+
+    @property
+    def num_images(self) -> int:
+        return int(self.poses.q.shape[0])
+
+    @property
+    def level_count(self) -> int:
+        return len(self.pyramid)
+
+
+@dataclass
+class PhotoProblem:
+    groups: List[ImageGroup]
+    levels: List["PhotoLevel"]
     occlusion_points: jnp.ndarray  # (M,3) splat points (global frame)
     occlusion_radius: float  # splat world radius
-    scale_count: int
-    masks: Optional[List[jnp.ndarray]] = None  # per scale (B,H_s,W_s) bool; True = masked out
+    scale_count: int  # global image scale count
     max_valid_intensity: float = 252.0
     occlusion_depth_threshold: float = 0.01
 
     @property
     def num_images(self) -> int:
-        return int(self.poses.q.shape[0])
+        return sum(g.num_images for g in self.groups)
 
 
 def determine_point_neighbors(points: np.ndarray, scan_indices: np.ndarray,

@@ -1,0 +1,196 @@
+"""ImageRegistrator: headless dense photometric pose+intrinsics refinement.
+
+CLI counterpart of ``/root/reference/src/exe/image_registrator.cc``: loads the
+scan alignment (.mlp), occlusion geometry (splats; occlusion meshes once the
+mesh rasterizer lands — the reference also falls back to point splats,
+``:163-172``), initializes camera groups + poses from a COLMAP state dir,
+builds the multi-resolution point cloud, and runs the coarse-to-fine
+photometric optimizer, exporting a COLMAP state dir ``scale_<f>_state`` with
+a ``metadata.txt`` parameter dump after every completed image scale
+(``:227-307``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dataset_pipeline_tpu.io.scans import load_scan_set
+from dataset_pipeline_tpu.io.state import ImageState, ModelState, load_colmap_state, save_colmap_state
+from dataset_pipeline_tpu.models import cameras as cm
+from dataset_pipeline_tpu.models.lie import SE3, quat_to_matrix
+from dataset_pipeline_tpu.photometric.multiscale import build_multiscale_cloud
+from dataset_pipeline_tpu.photometric.optimizer import PhotometricOptimizer
+from dataset_pipeline_tpu.photometric.problem import (
+    ImageGroup,
+    PhotoProblem,
+    build_image_pyramid,
+    build_photo_level,
+    image_scale_count,
+)
+
+DEFAULT_SPLAT_RADIUS = 0.03
+
+
+def _pose_matrix(im: ImageState) -> np.ndarray:
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(im.qvec, jnp.float32)))
+    T[:3, 3] = im.tvec
+    return T
+
+
+def load_groups(state: ModelState, image_base_path: str):
+    """Group images by camera id; load grayscale pyramids."""
+    from PIL import Image as PILImage
+
+    by_cam = defaultdict(list)
+    for im in state.images:
+        by_cam[im.camera_id].append(im)
+
+    group_descs = []
+    global_count = 1
+    for cid in sorted(by_cam):
+        cam = state.cameras[cid]
+        count = image_scale_count(cam.width, cam.height)
+        global_count = max(global_count, count)
+        group_descs.append((cid, cam, by_cam[cid], count))
+
+    groups = []
+    for cid, cam, ims, count in group_descs:
+        grays = []
+        poses_mats = []
+        ids = []
+        for im in ims:
+            img = np.asarray(PILImage.open(os.path.join(image_base_path, im.name)).convert("L"),
+                             np.float32)
+            if img.shape != (cam.height, cam.width):
+                raise ValueError(
+                    f"{im.name}: image is {img.shape}, camera expects "
+                    f"({cam.height},{cam.width})"
+                )
+            grays.append(img)
+            poses_mats.append(_pose_matrix(im))
+            ids.append(im.image_id)
+        pyramid = build_image_pyramid(np.stack(grays), count)
+        poses = SE3.from_matrix(jnp.asarray(np.stack(poses_mats), jnp.float32))
+        groups.append(
+            ImageGroup(camera=cam, pyramid=pyramid, poses=poses, image_ids=ids,
+                       min_image_scale=global_count - count)
+        )
+    return groups, global_count
+
+
+def export_state(path: str, opt: PhotometricOptimizer, state: ModelState,
+                 metadata: dict):
+    cam_by_id = dict(state.cameras)
+    img_rows = []
+    id_to_group = {}
+    for g in opt.p.groups:
+        for bi, iid in enumerate(g.image_ids):
+            id_to_group[iid] = (g, bi)
+    for im in state.images:
+        g, bi = id_to_group[im.image_id]
+        q = np.asarray(g.poses.q[bi], np.float64)
+        t = np.asarray(g.poses.t[bi], np.float64)
+        img_rows.append(ImageState(im.image_id, im.camera_id, im.name, q, t))
+        cam_by_id[im.camera_id] = g.camera
+    save_colmap_state(path, ModelState(cam_by_id, img_rows, state.scale_factor))
+    with open(os.path.join(path, "metadata.txt"), "w") as f:
+        for k, v in metadata.items():
+            f.write(f"{k} {v}\n")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scan_alignment_path", required=True)
+    p.add_argument("--occlusion_mesh_path", default="")
+    p.add_argument("--occlusion_splats_path", default="")
+    p.add_argument("--image_base_path", required=True)
+    p.add_argument("--state_path", required=True)
+    p.add_argument("--output_folder_path", required=True)
+    p.add_argument("--max_iterations", type=int, default=400)
+    p.add_argument("--splat_radius", type=float, default=DEFAULT_SPLAT_RADIUS)
+    p.add_argument("--camera_ids_to_ignore", default="")
+    p.add_argument("--fix_intrinsics", action="store_true")
+    args = p.parse_args(argv)
+
+    ignore = {int(v) for v in args.camera_ids_to_ignore.split(",") if v}
+    scans = load_scan_set(args.scan_alignment_path)
+    state = load_colmap_state(args.state_path, scans.scale_factor, ignore)
+    groups, global_count = load_groups(state, args.image_base_path)
+    print(f"{len(groups)} camera groups, {sum(g.num_images for g in groups)} images, "
+          f"{global_count} image scales")
+
+    scan_pts = [scans.global_positions(i) for i in range(len(scans.infos))]
+    scan_cols = [
+        scans.clouds[i].colors if scans.clouds[i].colors is not None
+        else np.zeros((len(scan_pts[i]), 3), np.uint8)
+        for i in range(len(scans.infos))
+    ]
+    all_pts = np.concatenate(scan_pts)
+    all_cols = np.concatenate(scan_cols)
+    scan_idx = np.concatenate(
+        [np.full(len(p_), i, np.uint8) for i, p_ in enumerate(scan_pts)]
+    )
+
+    if args.occlusion_splats_path:
+        from dataset_pipeline_tpu.io.ply import read_ply
+
+        occl = read_ply(args.occlusion_splats_path).positions
+    else:
+        occl = all_pts
+
+    # multi-scale cloud: radii judged against ALL images (all groups)
+    all_poses = SE3(
+        jnp.concatenate([g.poses.q for g in groups]),
+        jnp.concatenate([g.poses.t for g in groups]),
+    )
+    # use the largest camera for radius estimation (conservative)
+    largest = max((g.camera for g in groups), key=lambda c: c.width * c.height)
+    levels_raw = build_multiscale_cloud(
+        all_pts, all_cols, scan_idx, all_poses, largest, global_count,
+    )
+    levels = []
+    for i, lv in enumerate(levels_raw):
+        pl = build_photo_level(lv, seed=i)
+        if pl is not None:
+            levels.append(pl)
+    print(f"{len(levels)} point levels: " + ", ".join(str(len(l.points)) for l in levels))
+
+    problem = PhotoProblem(
+        groups=groups,
+        levels=levels,
+        occlusion_points=jnp.asarray(occl.astype(np.float32)),
+        occlusion_radius=args.splat_radius,
+        scale_count=global_count,
+    )
+    opt = PhotometricOptimizer(problem, optimize_intrinsics=not args.fix_intrinsics)
+
+    os.makedirs(args.output_folder_path, exist_ok=True)
+
+    def on_scale_done(o: PhotometricOptimizer, report):
+        factor = 2.0 ** (-o.current_scale)
+        out = os.path.join(args.output_folder_path, f"scale_{factor:g}_state")
+        export_state(out, o, state, {
+            "optimum_cost": report.optimum_cost,
+            "iterations": report.iterations,
+            "image_scale": o.current_scale,
+            "splat_radius": args.splat_radius,
+            "scale_factor": scans.scale_factor,
+        })
+        print(f"scale {o.current_scale} done (cost {report.optimum_cost:.6f}) -> {out}")
+
+    opt.run(max_iterations_per_scale=args.max_iterations, print_progress=True,
+            on_scale_done=on_scale_done)
+    print("finished")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
