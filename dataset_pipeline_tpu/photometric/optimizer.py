@@ -243,6 +243,58 @@ def _hb_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
     return H, b, cost, count
 
 
+@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
+def _hb_one_rig(camera: cm.Camera, params, extr_q, extr_t, ref_q, ref_t,
+                level_points, level_neighbors, level_desc, image_pyr, obs_scale,
+                contrib_mask, scale_count: int, optimize_intrinsics: bool):
+    """H,b for a rig-DEPENDENT image: pose = image_T_rig . ref_pose.
+
+    Returned block layout: [P intrinsics | 6 rig extrinsics | 6 ref pose]
+    (``intrinsics_and_pose_optimizer.cc:624-720`` rig branch).
+    """
+    P = params.shape[0]
+
+    def residuals(eps_e, eps_r, prm):
+        extr = SE3.exp(eps_e).compose(SE3(extr_q, extr_t))
+        ref = SE3.exp(eps_r).compose(SE3(ref_q, ref_t))
+        pose = extr.compose(ref)
+        inten, _ = _point_intensities(camera, prm, pose.q, pose.t,
+                                      level_points, image_pyr, obs_scale)
+        return (inten[level_neighbors] - inten[:, None]) - level_desc
+
+    z6 = jnp.zeros(6, jnp.float32)
+    r0 = residuals(z6, z6, params)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(r0 * r0, -1), 1e-20))
+    rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
+    w = huber_weight(norm, DEFAULT_COLOR_HUBER)
+
+    J_e, J_r, J_int = jax.jacfwd(residuals, argnums=(0, 1, 2))(z6, z6, params)
+
+    pose0 = SE3(extr_q, extr_t).compose(SE3(ref_q, ref_t))
+    inten, ok = _point_intensities(camera, params, pose0.q, pose0.t, level_points,
+                                   image_pyr, obs_scale)
+    all_ok = ok & jnp.all(ok[level_neighbors], -1) & contrib_mask
+    wfull = jnp.where(all_ok, w, 0.0)
+
+    if optimize_intrinsics:
+        rows = jnp.concatenate([J_int, J_e, J_r], -1)
+    else:
+        rows = jnp.concatenate([J_e, J_r], -1)
+    V = rows.shape[-1]
+    sw = jnp.sqrt(wfull)[:, None]
+    rows_w = (rows * sw[..., None]).reshape(-1, V)
+    r_w = (r0 * sw).reshape(-1)
+    H = jax.lax.dot_general(
+        rows_w, rows_w, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    b = jnp.sum(rows_w * r_w[:, None], 0)
+    cost = jnp.sum(jnp.where(all_ok, rho, 0.0))
+    count = jnp.sum(all_ok)
+    return H, b, cost, count
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -272,10 +324,13 @@ class PhotometricOptimizer:
         self.current_scale = problem.scale_count - 1
         self.lam = 64.0
         self._frozen_vis = None
+        self._sync_dependent_poses()
 
     # -- variable indexing ---------------------------------------------------
 
     def _var_layout(self):
+        """[intrinsics blocks][per-rig (ncams-1)*6 extrinsics][per
+        non-dependent image 6] — dependent groups own no pose variables."""
         offsets_int = []
         off = 0
         if self.optimize_intrinsics:
@@ -284,11 +339,29 @@ class PhotometricOptimizer:
                 off += int(g.camera.params.shape[0])
         else:
             offsets_int = [None] * len(self.p.groups)
+        offsets_rig = []
+        for extr in self.p.rig_extrinsics:
+            offsets_rig.append(off)
+            off += 6 * (int(extr.q.shape[0]) - 1)
         offsets_pose = []
         for g in self.p.groups:
-            offsets_pose.append(off)
-            off += 6 * g.num_images
-        return offsets_int, offsets_pose, off
+            if g.rig_cam_index > 0:
+                offsets_pose.append(None)
+            else:
+                offsets_pose.append(off)
+                off += 6 * g.num_images
+        return offsets_int, offsets_rig, offsets_pose, off
+
+    def _sync_dependent_poses(self):
+        """Derive dependent groups' poses from extrinsics + reference poses."""
+        for g in self.p.groups:
+            if g.rig_cam_index > 0:
+                ref_g = self.p.groups[g.ref_group]
+                extr = self.p.rig_extrinsics[g.rig_id]
+                e = SE3(extr.q[g.rig_cam_index], extr.t[g.rig_cam_index])
+                slots = jnp.asarray(np.asarray(g.ref_slots, np.int32))
+                ref = SE3(ref_g.poses.q[slots], ref_g.poses.t[slots])
+                g.poses = e.compose(ref)
 
     # -- occlusion ----------------------------------------------------------
 
@@ -360,36 +433,62 @@ class PhotometricOptimizer:
     # -- LM step --------------------------------------------------------------
 
     def _lm_step(self, vis):
-        offsets_int, offsets_pose, V = self._var_layout()
+        offsets_int, offsets_rig, offsets_pose, V = self._var_layout()
         H = np.zeros((V, V), np.float64)
         bb = np.zeros(V, np.float64)
         cost0 = 0.0
         count0 = 0
+
+        def scatter(Hb, bvec, col_slices):
+            """Accumulate a small symmetric block into the big system.
+            ``col_slices``: list of (big_slice, small_start, small_len)."""
+            for (sa, a0, la) in col_slices:
+                bb[sa] += bvec[a0:a0 + la]
+                for (sb, b0, lb) in col_slices:
+                    H[sa, sb] += Hb[a0:a0 + la, b0:b0 + lb]
+
         for gi, g in enumerate(self.p.groups):
             P = int(g.camera.params.shape[0])
             nint = P if self.optimize_intrinsics else 0
             oi = offsets_int[gi]
+            dependent = g.rig_cam_index > 0
             for b in range(g.num_images):
                 pyr = self._image_pyr(gi, b)
-                sl_pose = slice(offsets_pose[gi] + 6 * b, offsets_pose[gi] + 6 * (b + 1))
                 for l, level in enumerate(self.p.levels):
                     mask, s = vis[gi][b][l]
-                    Hb, bvec, c, n = _hb_one(
-                        g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
-                        level.points, level.neighbors, level.fixed_descriptors,
-                        pyr, s, mask, g.level_count, self.optimize_intrinsics,
-                    )
-                    Hb = np.asarray(Hb, np.float64)
-                    bvec = np.asarray(bvec, np.float64)
+                    if dependent:
+                        ref_g = self.p.groups[g.ref_group]
+                        extr = self.p.rig_extrinsics[g.rig_id]
+                        slot = int(g.ref_slots[b])
+                        Hb, bvec, c, n = _hb_one_rig(
+                            g.camera, g.camera.params,
+                            extr.q[g.rig_cam_index], extr.t[g.rig_cam_index],
+                            ref_g.poses.q[slot], ref_g.poses.t[slot],
+                            level.points, level.neighbors, level.fixed_descriptors,
+                            pyr, s, mask, g.level_count, self.optimize_intrinsics,
+                        )
+                        oe = offsets_rig[g.rig_id] + 6 * (g.rig_cam_index - 1)
+                        orf = offsets_pose[g.ref_group] + 6 * slot
+                        slices = []
+                        if nint:
+                            slices.append((slice(oi, oi + P), 0, P))
+                        slices.append((slice(oe, oe + 6), nint, 6))
+                        slices.append((slice(orf, orf + 6), nint + 6, 6))
+                    else:
+                        Hb, bvec, c, n = _hb_one(
+                            g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
+                            level.points, level.neighbors, level.fixed_descriptors,
+                            pyr, s, mask, g.level_count, self.optimize_intrinsics,
+                        )
+                        op = offsets_pose[gi] + 6 * b
+                        slices = []
+                        if nint:
+                            slices.append((slice(oi, oi + P), 0, P))
+                        slices.append((slice(op, op + 6), nint, 6))
+                    scatter(np.asarray(Hb, np.float64), np.asarray(bvec, np.float64),
+                            slices)
                     cost0 += float(c)
                     count0 += int(n)
-                    if nint:
-                        H[oi:oi + P, oi:oi + P] += Hb[:P, :P]
-                        H[oi:oi + P, sl_pose] += Hb[:P, P:]
-                        H[sl_pose, oi:oi + P] += Hb[P:, :P]
-                        bb[oi:oi + P] += bvec[:P]
-                    H[sl_pose, sl_pose] += Hb[nint:, nint:]
-                    bb[sl_pose] += bvec[nint:]
         initial = cost0 / max(count0, 1)
 
         applied = False
@@ -404,6 +503,13 @@ class PhotometricOptimizer:
                 self.lam *= 2.0
                 continue
             new_params = []
+            new_extr = []
+            for ri, extr in enumerate(self.p.rig_extrinsics):
+                orr = offsets_rig[ri]
+                ncams = int(extr.q.shape[0])
+                deltas = np.zeros((ncams, 6), np.float32)
+                deltas[1:] = -x[orr:orr + 6 * (ncams - 1)].reshape(ncams - 1, 6)
+                new_extr.append(SE3.exp(jnp.asarray(deltas)).compose(extr))
             new_poses = []
             for gi, g in enumerate(self.p.groups):
                 P = int(g.camera.params.shape[0])
@@ -412,15 +518,27 @@ class PhotometricOptimizer:
                     oi = offsets_int[gi]
                     prm = prm - jnp.asarray(x[oi:oi + P], jnp.float32)
                 new_params.append(prm)
-                op = offsets_pose[gi]
-                deltas = -x[op:op + 6 * g.num_images].reshape(g.num_images, 6)
-                dT = SE3.exp(jnp.asarray(deltas.astype(np.float32)))
-                new_poses.append(dT.compose(g.poses))
+                if g.rig_cam_index > 0:
+                    new_poses.append(None)  # derived below
+                else:
+                    op = offsets_pose[gi]
+                    deltas = -x[op:op + 6 * g.num_images].reshape(g.num_images, 6)
+                    dT = SE3.exp(jnp.asarray(deltas.astype(np.float32)))
+                    new_poses.append(dT.compose(g.poses))
+            # derive dependent poses from candidates
+            for gi, g in enumerate(self.p.groups):
+                if g.rig_cam_index > 0:
+                    extr = new_extr[g.rig_id]
+                    e = SE3(extr.q[g.rig_cam_index], extr.t[g.rig_cam_index])
+                    slots = jnp.asarray(np.asarray(g.ref_slots, np.int32))
+                    refp = new_poses[g.ref_group]
+                    new_poses[gi] = e.compose(SE3(refp.q[slots], refp.t[slots]))
             cand_cost = self._total_cost(new_params, new_poses, self._frozen_vis)
             if cand_cost < initial or lm_try == 9:  # force-apply last try
                 for gi, g in enumerate(self.p.groups):
                     g.camera = g.camera.with_params(new_params[gi])
                     g.poses = new_poses[gi]
+                self.p.rig_extrinsics = new_extr
                 self.lam *= 0.5
                 applied = True
                 max_change = float(np.max(np.abs(x))) if len(x) else 0.0
@@ -460,7 +578,10 @@ class PhotometricOptimizer:
                       f" lam {self.lam:.3g} max_change {max_change:.3g}")
             if cost < optimum_cost:
                 optimum_cost = cost
-                optimum_state = [(g.camera.params, g.poses) for g in self.p.groups]
+                optimum_state = (
+                    [(g.camera.params, g.poses) for g in self.p.groups],
+                    list(self.p.rig_extrinsics),
+                )
                 without_new = 0
             else:
                 without_new += 1
@@ -470,9 +591,11 @@ class PhotometricOptimizer:
                 converged = True
                 break
         if optimum_state is not None:
+            group_state, rig_state = optimum_state
             for gi, g in enumerate(self.p.groups):
-                g.camera = g.camera.with_params(optimum_state[gi][0])
-                g.poses = optimum_state[gi][1]
+                g.camera = g.camera.with_params(group_state[gi][0])
+                g.poses = group_state[gi][1]
+            self.p.rig_extrinsics = rig_state
         return OptimizerReport(it + 1, optimum_cost, converged)
 
     def next_scale(self) -> bool:

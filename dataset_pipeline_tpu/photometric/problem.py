@@ -76,9 +76,15 @@ class ImageGroup:
 
     camera: cm.Camera  # camera of the group's finest level
     pyramid: List[jnp.ndarray]  # per group level (B,H_l,W_l) float32
-    poses: SE3  # (B,) image_T_global
+    poses: SE3  # (B,) image_T_global (DERIVED for rig-dependent groups)
     image_ids: List[int]
     min_image_scale: int = 0
+    # rig role (``opt/rig.h``): a group whose camera is a non-reference rig
+    # camera has its poses derived as image_T_rig . ref_pose
+    rig_id: int = -1
+    rig_cam_index: int = 0
+    ref_group: int = -1  # index of the reference camera's group
+    ref_slots: Optional[np.ndarray] = None  # per image: index into ref group
 
     @property
     def num_images(self) -> int:
@@ -96,6 +102,7 @@ class PhotoProblem:
     occlusion_points: jnp.ndarray  # (M,3) splat points (global frame)
     occlusion_radius: float  # splat world radius
     scale_count: int  # global image scale count
+    rig_extrinsics: List[SE3] = field(default_factory=list)  # per rig: (ncams,) image_T_rig
     max_valid_intensity: float = 252.0
     occlusion_depth_threshold: float = 0.01
 
