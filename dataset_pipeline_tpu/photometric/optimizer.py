@@ -191,6 +191,20 @@ def _cost_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
     return cost, count
 
 
+@partial(jax.jit, static_argnames=("scale_count",))
+def _image_descriptors_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
+                           level_neighbors, image_pyr, obs_scale, contrib_mask,
+                           scale_count: int):
+    """This image's contribution to the variable-descriptor mean
+    (``opt/color_optimizer.cc:40-123``): image-space descriptors of fully
+    observed points. Returns (desc_sum (N,K), observed (N,))."""
+    inten, ok = _point_intensities(camera, params, pose_q, pose_t, level_points,
+                                   image_pyr, obs_scale)
+    all_ok = ok & jnp.all(ok[level_neighbors], -1) & contrib_mask
+    desc = inten[level_neighbors] - inten[:, None]
+    return jnp.where(all_ok[:, None], desc, 0.0), all_ok
+
+
 @partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
 def _hb_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
             level_neighbors, level_desc, image_pyr, obs_scale, contrib_mask,
@@ -317,7 +331,18 @@ class PhotometricOptimizer:
     """
 
     def __init__(self, problem: PhotoProblem, optimize_intrinsics: bool = True,
-                 max_radius_px: int = 3):
+                 max_radius_px: int = 3, fixed_weight: float = 1.0,
+                 variable_weight: float = 0.0):
+        # reference defaults enable BOTH residual types (opt/parameters.h:50-51)
+        # but variable colors require the alternation; pass variable_weight=1.0
+        # to match the reference's default configuration.
+        self.fixed_weight = fixed_weight
+        self.variable_weight = variable_weight
+        self._var_desc = None
+        self.__init_rest(problem, optimize_intrinsics, max_radius_px)
+
+    def __init_rest(self, problem: PhotoProblem, optimize_intrinsics: bool,
+                    max_radius_px: int):
         self.p = problem
         self.optimize_intrinsics = optimize_intrinsics
         self.max_radius_px = max_radius_px
@@ -411,24 +436,66 @@ class PhotometricOptimizer:
         return [self.p.groups[gi].pyramid[s][b]
                 for s in range(self.p.groups[gi].level_count)]
 
+    # -- variable descriptors (ColorOptimizer alternation) --------------------
+
+    def _compute_variable_descriptors(self, vis):
+        """Mean image-space descriptor per point-neighbor edge over all images
+        that fully observe the point (``opt/color_optimizer.cc:40-123``).
+        Returns per level (desc (N,K), contributing_mask (N,): obs count>=2)."""
+        out = []
+        for l, level in enumerate(self.p.levels):
+            desc_sum = None
+            count = None
+            for gi, g in enumerate(self.p.groups):
+                for b in range(g.num_images):
+                    pyr = self._image_pyr(gi, b)
+                    mask, s = vis[gi][b][l]
+                    d, ok = _image_descriptors_one(
+                        g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
+                        level.points, level.neighbors, pyr, s, mask, g.level_count,
+                    )
+                    desc_sum = d if desc_sum is None else desc_sum + d
+                    count = ok.astype(jnp.int32) if count is None else count + ok
+            desc = desc_sum / jnp.maximum(count, 1)[:, None]
+            out.append((desc, count >= 2))
+        return out
+
+    def _residual_sets(self, level_idx):
+        """[(descriptors, extra_mask_or_None, static_weight)] per active type."""
+        sets = []
+        level = self.p.levels[level_idx]
+        if self.fixed_weight > 0:
+            sets.append((level.fixed_descriptors, None, self.fixed_weight))
+        if self.variable_weight > 0 and self._var_desc is not None:
+            desc, mask2 = self._var_desc[level_idx]
+            sets.append((desc, mask2, self.variable_weight))
+        return sets
+
     # -- cost -----------------------------------------------------------------
 
     def _total_cost(self, group_params, group_poses, vis) -> float:
-        total = 0.0
-        count = 0
+        # weighted mean per residual type (problem.cc:602-631)
+        sums = {}
+        counts = {}
         for gi, g in enumerate(self.p.groups):
             for b in range(g.num_images):
                 pyr = self._image_pyr(gi, b)
                 for l, level in enumerate(self.p.levels):
                     mask, s = vis[gi][b][l]
-                    c, n = _cost_one(
-                        g.camera, group_params[gi], group_poses[gi].q[b],
-                        group_poses[gi].t[b], level.points, level.neighbors,
-                        level.fixed_descriptors, pyr, s, mask, g.level_count,
-                    )
-                    total += float(c)
-                    count += int(n)
-        return total / max(count, 1)
+                    for ti, (desc, extra, w) in enumerate(self._residual_sets(l)):
+                        m = mask if extra is None else (mask & extra)
+                        c, n = _cost_one(
+                            g.camera, group_params[gi], group_poses[gi].q[b],
+                            group_poses[gi].t[b], level.points, level.neighbors,
+                            desc, pyr, s, m, g.level_count,
+                        )
+                        sums[ti] = sums.get(ti, 0.0) + float(c)
+                        counts[ti] = counts.get(ti, 0) + int(n)
+        total = 0.0
+        weights = [w for (_, _, w) in self._residual_sets(0)] if self.p.levels else []
+        for ti in sums:
+            total += weights[ti] * sums[ti] / max(counts[ti], 1)
+        return total
 
     # -- LM step --------------------------------------------------------------
 
@@ -436,8 +503,7 @@ class PhotometricOptimizer:
         offsets_int, offsets_rig, offsets_pose, V = self._var_layout()
         H = np.zeros((V, V), np.float64)
         bb = np.zeros(V, np.float64)
-        cost0 = 0.0
-        count0 = 0
+        self._lm_cost_sums = [(0.0, 0) for _ in self._residual_sets(0)]
 
         def scatter(Hb, bvec, col_slices):
             """Accumulate a small symmetric block into the big system.
@@ -456,40 +522,47 @@ class PhotometricOptimizer:
                 pyr = self._image_pyr(gi, b)
                 for l, level in enumerate(self.p.levels):
                     mask, s = vis[gi][b][l]
-                    if dependent:
-                        ref_g = self.p.groups[g.ref_group]
-                        extr = self.p.rig_extrinsics[g.rig_id]
-                        slot = int(g.ref_slots[b])
-                        Hb, bvec, c, n = _hb_one_rig(
-                            g.camera, g.camera.params,
-                            extr.q[g.rig_cam_index], extr.t[g.rig_cam_index],
-                            ref_g.poses.q[slot], ref_g.poses.t[slot],
-                            level.points, level.neighbors, level.fixed_descriptors,
-                            pyr, s, mask, g.level_count, self.optimize_intrinsics,
-                        )
-                        oe = offsets_rig[g.rig_id] + 6 * (g.rig_cam_index - 1)
-                        orf = offsets_pose[g.ref_group] + 6 * slot
-                        slices = []
-                        if nint:
-                            slices.append((slice(oi, oi + P), 0, P))
-                        slices.append((slice(oe, oe + 6), nint, 6))
-                        slices.append((slice(orf, orf + 6), nint + 6, 6))
-                    else:
-                        Hb, bvec, c, n = _hb_one(
-                            g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
-                            level.points, level.neighbors, level.fixed_descriptors,
-                            pyr, s, mask, g.level_count, self.optimize_intrinsics,
-                        )
-                        op = offsets_pose[gi] + 6 * b
-                        slices = []
-                        if nint:
-                            slices.append((slice(oi, oi + P), 0, P))
-                        slices.append((slice(op, op + 6), nint, 6))
-                    scatter(np.asarray(Hb, np.float64), np.asarray(bvec, np.float64),
-                            slices)
-                    cost0 += float(c)
-                    count0 += int(n)
-        initial = cost0 / max(count0, 1)
+                    for ti, (desc, extra, w_t) in enumerate(self._residual_sets(l)):
+                        m = mask if extra is None else (mask & extra)
+                        if dependent:
+                            ref_g = self.p.groups[g.ref_group]
+                            extr = self.p.rig_extrinsics[g.rig_id]
+                            slot = int(g.ref_slots[b])
+                            Hb, bvec, c, n = _hb_one_rig(
+                                g.camera, g.camera.params,
+                                extr.q[g.rig_cam_index], extr.t[g.rig_cam_index],
+                                ref_g.poses.q[slot], ref_g.poses.t[slot],
+                                level.points, level.neighbors, desc,
+                                pyr, s, m, g.level_count, self.optimize_intrinsics,
+                            )
+                            oe = offsets_rig[g.rig_id] + 6 * (g.rig_cam_index - 1)
+                            orf = offsets_pose[g.ref_group] + 6 * slot
+                            slices = []
+                            if nint:
+                                slices.append((slice(oi, oi + P), 0, P))
+                            slices.append((slice(oe, oe + 6), nint, 6))
+                            slices.append((slice(orf, orf + 6), nint + 6, 6))
+                        else:
+                            Hb, bvec, c, n = _hb_one(
+                                g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
+                                level.points, level.neighbors, desc,
+                                pyr, s, m, g.level_count, self.optimize_intrinsics,
+                            )
+                            op = offsets_pose[gi] + 6 * b
+                            slices = []
+                            if nint:
+                                slices.append((slice(oi, oi + P), 0, P))
+                            slices.append((slice(op, op + 6), nint, 6))
+                        scatter(w_t * np.asarray(Hb, np.float64),
+                                w_t * np.asarray(bvec, np.float64), slices)
+                        cost_sums = self._lm_cost_sums
+                        cost_sums[ti] = (cost_sums[ti][0] + float(c),
+                                         cost_sums[ti][1] + int(n))
+        weights = [w for (_, _, w) in self._residual_sets(0)]
+        initial = sum(
+            w * s_ / max(n_, 1)
+            for w, (s_, n_) in zip(weights, self._lm_cost_sums)
+        )
 
         applied = False
         max_change = 0.0
@@ -568,6 +641,8 @@ class PhotometricOptimizer:
                 applied, max_change = self._lm_step(self._frozen_vis)
             occl = self._occlusion_depths()
             self._frozen_vis = self._visibility(occl)
+            if self.variable_weight > 0:
+                self._var_desc = self._compute_variable_descriptors(self._frozen_vis)
             cost = self._total_cost(
                 [g.camera.params for g in self.p.groups],
                 [g.poses for g in self.p.groups],

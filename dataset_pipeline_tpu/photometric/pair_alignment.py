@@ -92,6 +92,8 @@ def align_pair(camera: cm.Camera, cloud_points: np.ndarray, cloud_colors: np.nda
                splat_radius: Optional[float] = None,
                optimize_intrinsics: bool = False,
                max_iterations_per_scale: int = 50,
+               fixed_weight: float = 1.0,
+               variable_weight: float = 0.0,
                print_progress: bool = False) -> Tuple[SE3, cm.Camera]:
     """Run the photometric optimizer on a 2-image problem.
 
@@ -141,7 +143,9 @@ def align_pair(camera: cm.Camera, cloud_points: np.ndarray, cloud_colors: np.nda
         occlusion_radius=splat_radius,
         scale_count=scale_count,
     )
-    opt = PhotometricOptimizer(problem, optimize_intrinsics=optimize_intrinsics)
+    opt = PhotometricOptimizer(problem, optimize_intrinsics=optimize_intrinsics,
+                               fixed_weight=fixed_weight,
+                               variable_weight=variable_weight)
     opt.run(max_iterations_per_scale=max_iterations_per_scale,
             print_progress=print_progress)
     g = opt.p.groups[0]

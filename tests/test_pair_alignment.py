@@ -51,3 +51,30 @@ def test_small_offset_pair():
           f"rotation err {r_err_deg:.4f} deg")
     assert t_err / fx.average_scene_depth <= 1e-2
     assert r_err_deg <= 1.0
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="reference fixture not present")
+def test_small_offset_pair_with_variable_colors():
+    """Reference default config: fixed AND variable color residuals both
+    active (``opt/parameters.h:50-51``); same accuracy bounds must hold."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.models.lie import SE3
+
+    fx = load_pair_fixture(FIXTURE)
+    pts, colors = cloud_from_depth(fx.camera, fx.depth_a, fx.depth_factor, fx.image_a)
+    init = np.eye(4, dtype=np.float32)
+    poses, _ = align_pair(
+        fx.camera, pts, colors, fx.image_a, fx.image_b, init, init,
+        optimize_intrinsics=False, fixed_weight=1.0, variable_weight=1.0,
+    )
+    pose_a = SE3(jnp.asarray(poses.q[0]), jnp.asarray(poses.t[0]))
+    pose_b = SE3(jnp.asarray(poses.q[1]), jnp.asarray(poses.t[1]))
+    a_T_b_est = np.asarray(pose_a.compose(pose_b.inverse()).matrix())
+    gt = fx.a_T_b
+    t_err = np.linalg.norm(a_T_b_est[:3, 3] - gt[:3, 3])
+    rel = a_T_b_est[:3, :3] @ gt[:3, :3].T
+    r_err_deg = np.rad2deg(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+    print(f"[variable colors] t_err {t_err:.5f}, r_err {r_err_deg:.4f} deg")
+    assert t_err / fx.average_scene_depth <= 1e-2
+    assert r_err_deg <= 1.0
