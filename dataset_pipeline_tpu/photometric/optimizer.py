@@ -391,20 +391,32 @@ class PhotometricOptimizer:
     # -- occlusion ----------------------------------------------------------
 
     def _occlusion_depths(self):
-        """Splat occlusion depth per (group, image) at the group's full res."""
+        """Occlusion depth per (group, image) at the group's full resolution:
+        the occlusion mesh (with boundary masking) when present, else point
+        splats (``opt/occlusion_geometry.cc`` mesh vs splat paths)."""
         out = []
         for g in self.p.groups:
             cam = g.camera
             per_image = []
             for b in range(g.num_images):
                 pose = SE3(g.poses.q[b], g.poses.t[b])
-                p_cam = pose.apply(self.p.occlusion_points)
-                d = render_splats_depth(
-                    p_cam,
-                    jnp.full((p_cam.shape[0],), self.p.occlusion_radius, jnp.float32),
-                    cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
-                    max_radius_px=self.max_radius_px,
-                )
+                if self.p.occlusion_mesh is not None:
+                    from dataset_pipeline_tpu.ops.mesh_raster import (
+                        render_occlusion_mesh_depth,
+                    )
+
+                    d = render_occlusion_mesh_depth(
+                        cam, pose, self.p.occlusion_mesh,
+                        splat_radius=self.p.occlusion_radius,
+                    )
+                else:
+                    p_cam = pose.apply(self.p.occlusion_points)
+                    d = render_splats_depth(
+                        p_cam,
+                        jnp.full((p_cam.shape[0],), self.p.occlusion_radius, jnp.float32),
+                        cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
+                        max_radius_px=self.max_radius_px,
+                    )
                 per_image.append(d)
             out.append(per_image)
         return out

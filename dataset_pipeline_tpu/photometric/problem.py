@@ -103,6 +103,7 @@ class PhotoProblem:
     occlusion_radius: float  # splat world radius
     scale_count: int  # global image scale count
     rig_extrinsics: List[SE3] = field(default_factory=list)  # per rig: (ncams,) image_T_rig
+    occlusion_mesh: Optional[object] = None  # ops.mesh_raster.OcclusionMesh
     max_valid_intensity: float = 252.0
     occlusion_depth_threshold: float = 0.01
 

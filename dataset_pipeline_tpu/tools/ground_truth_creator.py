@@ -87,7 +87,15 @@ def _scan_rendering(camera: cm.Camera, pose_q, pose_t, points, colors, keep,
 
 
 def render_occlusion_depth(camera: cm.Camera, pose: SE3, occlusion_points,
-                           splat_radius: float, max_radius_px: int = 3):
+                           splat_radius: float, max_radius_px: int = 3,
+                           occlusion_mesh=None):
+    if occlusion_mesh is not None:
+        from dataset_pipeline_tpu.ops.mesh_raster import render_occlusion_mesh_depth
+
+        return render_occlusion_mesh_depth(
+            camera, pose, occlusion_mesh, splat_radius=splat_radius,
+            min_depth=MIN_OCCLUSION_DEPTH, max_depth=MAX_OCCLUSION_DEPTH,
+        )
     p_cam = pose.apply(occlusion_points)
     z = p_cam[:, 2]
     in_range = (z >= MIN_OCCLUSION_DEPTH) & (z <= MAX_OCCLUSION_DEPTH)
@@ -140,7 +148,22 @@ def main(argv=None) -> int:
         scan_cols.append(c if c is not None else np.zeros((len(gp), 3), np.uint8))
 
     occl_points = jnp.asarray(np.concatenate(scan_pts))
-    if args.occlusion_splats_path:
+    occlusion_mesh = None
+    if args.occlusion_mesh_path:
+        from dataset_pipeline_tpu.io.ply import read_ply
+        from dataset_pipeline_tpu.ops.mesh_raster import build_occlusion_mesh
+
+        mesh_pc = read_ply(args.occlusion_mesh_path)
+        verts = [mesh_pc.positions @ upright[:3, :3].T + upright[:3, 3]]
+        faces = [mesh_pc.faces]
+        if args.occlusion_splats_path:
+            sp = read_ply(args.occlusion_splats_path)
+            if sp.faces is not None:
+                faces.append(sp.faces + len(verts[0]))
+                verts.append(sp.positions @ upright[:3, :3].T + upright[:3, 3])
+        occlusion_mesh = build_occlusion_mesh(
+            np.concatenate(verts).astype(np.float32), np.concatenate(faces))
+    elif args.occlusion_splats_path:
         from dataset_pipeline_tpu.io.ply import read_ply
 
         sp = read_ply(args.occlusion_splats_path).positions
@@ -179,7 +202,8 @@ def main(argv=None) -> int:
     for im in images:
         cam = state.cameras[im.camera_id]
         pose = image_pose(im)
-        od = render_occlusion_depth(cam, pose, occl_points, args.splat_radius)
+        od = render_occlusion_depth(cam, pose, occl_points, args.splat_radius,
+                                    occlusion_mesh=occlusion_mesh)
         occl_cache[im.image_id] = od
         for si, ptsb in enumerate(scan_pts):
             vis, _, _, _ = _visible_mask(cam, pose.q, pose.t, jnp.asarray(ptsb),

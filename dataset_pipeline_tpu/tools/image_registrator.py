@@ -139,12 +139,28 @@ def main(argv=None) -> int:
         [np.full(len(p_), i, np.uint8) for i, p_ in enumerate(scan_pts)]
     )
 
-    if args.occlusion_splats_path:
+    occlusion_mesh = None
+    occl = all_pts
+    if args.occlusion_mesh_path:
+        from dataset_pipeline_tpu.io.ply import read_ply
+        from dataset_pipeline_tpu.ops.mesh_raster import build_occlusion_mesh
+
+        mesh_pc = read_ply(args.occlusion_mesh_path)
+        verts = [mesh_pc.positions]
+        faces = [mesh_pc.faces]
+        if args.occlusion_splats_path:
+            sp = read_ply(args.occlusion_splats_path)
+            if sp.faces is not None:
+                faces.append(sp.faces + len(np.concatenate(verts)))
+                verts.append(sp.positions)
+        occlusion_mesh = build_occlusion_mesh(
+            np.concatenate(verts), np.concatenate(faces))
+        print(f"occlusion mesh: {sum(len(v) for v in verts)} vertices, "
+              f"{sum(len(f) for f in faces)} faces")
+    elif args.occlusion_splats_path:
         from dataset_pipeline_tpu.io.ply import read_ply
 
         occl = read_ply(args.occlusion_splats_path).positions
-    else:
-        occl = all_pts
 
     # multi-scale cloud: radii judged against ALL images (all groups)
     all_poses = SE3(
@@ -169,6 +185,7 @@ def main(argv=None) -> int:
         occlusion_points=jnp.asarray(occl.astype(np.float32)),
         occlusion_radius=args.splat_radius,
         scale_count=global_count,
+        occlusion_mesh=occlusion_mesh,
     )
     opt = PhotometricOptimizer(problem, optimize_intrinsics=not args.fix_intrinsics)
 
