@@ -62,30 +62,34 @@ def bench_numpy_cpu(m=200_000, iters=3):
     return m / dt  # correspondences per second (one full iteration)
 
 
-def bench_tpu(m=1_000_000, iters=10):
+def bench_tpu(m=1_000_000, iters=5):
+    """Fused device-side inner LM: H,b + solve + cost + accept, one dispatch
+    per call; counts full inner iterations of work per second."""
     import jax
     import jax.numpy as jnp
 
-    from dataset_pipeline_tpu.icp.point_to_plane import _icp_hb_cost, _icp_cost
+    from dataset_pipeline_tpu.icp.point_to_plane import _icp_inner_lm_device
 
     C = 2
     ps, ns, pt, nt, sid, tid, w = (jnp.asarray(x) for x in _problem(m))
     q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (C, 1))
     t = jnp.zeros((C, 3), jnp.float32)
 
-    def one_iter():
-        H, b, cost = _icp_hb_cost(q, t, ps, ns, pt, nt, sid, tid, w, C)
-        Hn = np.asarray(H, np.float64)[6:, 6:]
-        bn = np.asarray(b, np.float64)[6:]
-        x = np.linalg.solve(Hn + 0.1 * np.eye(6 * (C - 1)), bn)
-        return x, float(cost)
+    inner_iters = 20
 
-    one_iter()  # compile
+    def run():
+        q2, t2, it = _icp_inner_lm_device(q, t, ps, ns, pt, nt, sid, tid, w,
+                                          C, inner_iters, 0.0)
+        jax.block_until_ready(q2)
+        return int(it)
+
+    done = run()  # compile; also reports how many iterations actually ran
     t0 = time.time()
+    total_iters = 0
     for _ in range(iters):
-        one_iter()
-    dt = (time.time() - t0) / iters
-    return m / dt
+        total_iters += run()
+    dt = time.time() - t0
+    return m * total_iters / dt
 
 
 def main():

@@ -106,6 +106,69 @@ def _icp_hb_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, num_clouds: int, chunk
     return jnp.sum(H, 0), jnp.sum(b, 0), jnp.sum(cost)
 
 
+@partial(jax.jit, static_argnames=("num_clouds", "max_iterations", "chunk"))
+def _icp_inner_lm_device(q, t, ps, ns, pt, nt, src_id, tgt_id, w,
+                         num_clouds: int, max_iterations: int,
+                         convergence_threshold: float = 1e-7,
+                         chunk: int = 65536):
+    """The ENTIRE inner LM loop on device (one dispatch).
+
+    Mirrors ``PointToPlaneICPImpl::compute`` (``impl.h:115-293``): H,b
+    accumulation, lambda-damped solve, accept/reject with cost re-eval,
+    early stop when no update applies. The 6(C-1) solve runs on-device;
+    the host-solve fallback in :class:`PointToPlaneICP` remains for
+    small problems and testing.
+    """
+    C = num_clouds
+    n_var = 6 * (C - 1)
+
+    def hb(q, t):
+        return _icp_hb_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, C, chunk)
+
+    def cost_of(q, t):
+        return _icp_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, chunk)
+
+    def outer_body(state):
+        q, t, lam, it, running, last_dx = state
+        H, b, cost = hb(q, t)
+        Hv = H[6:, 6:]
+        bv = b[6:]
+
+        def lm_body(lm_state):
+            q_, t_, lam_, tries, applied, dx = lm_state
+            Hlm = Hv + lam_ * jnp.eye(n_var, dtype=jnp.float32)
+            x = jnp.linalg.solve(Hlm, bv)
+            delta = jnp.concatenate([jnp.zeros(6), -x]).reshape(C, 6).astype(jnp.float32)
+            cand = SE3.exp(delta).compose(SE3(q_, t_))
+            new_cost = cost_of(cand.q, cand.t)
+            accept = new_cost < cost
+            q2 = jnp.where(accept, cand.q, q_)
+            t2 = jnp.where(accept, cand.t, t_)
+            lam2 = jnp.where(accept, 0.5 * lam_, 2.0 * lam_)
+            dx2 = jnp.where(accept, jnp.linalg.norm(x), dx)
+            return q2, t2, lam2, tries + 1, applied | accept, dx2
+
+        def lm_cond(lm_state):
+            _, _, _, tries, applied, _ = lm_state
+            return (~applied) & (tries < 10)
+
+        q, t, lam, _, applied, dx = jax.lax.while_loop(
+            lm_cond, lm_body, (q, t, lam, jnp.asarray(0), jnp.asarray(False), 0.0)
+        )
+        running = applied & (dx >= convergence_threshold)
+        return q, t, lam, it + 1, running, dx
+
+    def outer_cond(state):
+        _, _, _, it, running, _ = state
+        return running & (it < max_iterations)
+
+    q, t, lam, it, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (q, t, jnp.asarray(0.1, jnp.float32), jnp.asarray(0), jnp.asarray(True), 1.0),
+    )
+    return q, t, it
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def _icp_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, chunk: int = 65536):
     def one_chunk(args):
@@ -159,10 +222,13 @@ class PointToPlaneICP:
     """Multi-cloud symmetric point-to-plane ICP (API mirrors the reference's
     ``PointToPlaneICP::AddPointCloud/Run/GetResultGlobalTCloud``)."""
 
-    def __init__(self):
+    def __init__(self, use_device_lm: bool = False):
         self._clouds: List[Tuple[np.ndarray, np.ndarray]] = []  # local points, normals
         self._poses: List[np.ndarray] = []  # global_T_cloud (4,4)
         self._fixed: List[Tuple[np.ndarray, np.ndarray]] = []  # global frame
+        # device LM runs the whole inner loop in one dispatch (f32 solve);
+        # host LM solves in float64 (reference-equivalent, used by tests)
+        self.use_device_lm = use_device_lm
 
     def add_point_cloud(self, points, normals, global_T_cloud=None, fixed=False):
         points = np.ascontiguousarray(points, np.float32)
@@ -268,6 +334,13 @@ class PointToPlaneICP:
         lam = 0.1
         n_var = 6 * (C - 1)
         if n_var == 0:
+            return np.asarray(q), np.asarray(t)
+
+        if self.use_device_lm:
+            q, t, _ = _icp_inner_lm_device(
+                q, t, ps, ns, pt, nt, sid, tid, w, C, max_iterations,
+                convergence_threshold,
+            )
             return np.asarray(q), np.asarray(t)
 
         for it in range(max_iterations):

@@ -1,0 +1,105 @@
+"""Native host kernels (C++ via ctypes), compiled on demand and cached.
+
+The device compute path is JAX/XLA; these cover the host-runtime loops the
+reference implements in C++ (acceleration-structure builds, bulk PLY
+staging). Falls back to pure NumPy when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "gridder.cc")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "DPT_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "dpt_native")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"gridder_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + ".tmp"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-pthread", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    os.replace(tmp, so_path)
+    return so_path
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is None and not _tried:
+        _tried = True
+        so = _build()
+        if so is not None:
+            lib = ctypes.CDLL(so)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+            f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+            u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+            lib.insert_triangles.restype = ctypes.c_int64
+            lib.insert_triangles.argtypes = [
+                i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int32,
+                i32p, i32p, ctypes.c_int64,
+            ]
+            lib.gather_ply_vertices.restype = None
+            lib.gather_ply_vertices.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, f32p, f32p, u8p,
+            ]
+            lib.morton_cell_ids.restype = None
+            lib.morton_cell_ids.argtypes = [
+                f32p, ctypes.c_int64, f32p, ctypes.c_float, ctypes.c_int32, u64p,
+            ]
+            _lib = lib
+    return _lib
+
+
+def insert_triangles(lo_cells: np.ndarray, hi_cells: np.ndarray, dims,
+                     max_per_cell: int) -> Optional[np.ndarray]:
+    """C fast path for triangle-grid insertion; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dims = np.ascontiguousarray(dims, np.int64)
+    num_cells = int(dims[0] * dims[1] * dims[2])
+    table = np.full((num_cells, max_per_cell), -1, np.int32)
+    counts = np.zeros(num_cells, np.int32)
+    lib.insert_triangles(
+        np.ascontiguousarray(lo_cells, np.int64),
+        np.ascontiguousarray(hi_cells, np.int64),
+        len(lo_cells), dims, max_per_cell, table, counts, num_cells,
+    )
+    return table
+
+
+def morton_codes(points: np.ndarray, origin: np.ndarray, cell_size: float,
+                 bits: int = 21) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(len(points), np.uint64)
+    lib.morton_cell_ids(
+        np.ascontiguousarray(points, np.float32), len(points),
+        np.ascontiguousarray(origin, np.float32),
+        np.float32(1.0 / cell_size), bits, out,
+    )
+    return out

@@ -99,28 +99,39 @@ def build_triangle_grid(vertices: np.ndarray, faces: np.ndarray, cell_size: floa
     lo_c = np.clip(np.floor((lo - origin) / cell_size).astype(np.int64), 0, dims - 1)
     hi_c = np.clip(np.floor((hi - origin) / cell_size).astype(np.int64), 0, dims - 1)
 
-    cells_list = []
-    tris_list = []
-    for f in range(len(faces)):
-        for i in range(lo_c[f, 0], hi_c[f, 0] + 1):
-            for j in range(lo_c[f, 1], hi_c[f, 1] + 1):
-                for k in range(lo_c[f, 2], hi_c[f, 2] + 1):
-                    cells_list.append((i * dims[1] + j) * dims[2] + k)
-                    tris_list.append(f)
-    cells_arr = np.asarray(cells_list, np.int64)
-    tris_arr = np.asarray(tris_list, np.int64)
-    order = np.argsort(cells_arr, kind="stable")
-    cells_arr, tris_arr = cells_arr[order], tris_arr[order]
+    # native C insertion (the reference builds its libigl AABB tree in C++;
+    # this is our host-side accel-structure build), NumPy fallback below
+    from dataset_pipeline_tpu import native
 
     num_cells = int(dims[0] * dims[1] * dims[2])
-    counts = np.bincount(cells_arr, minlength=num_cells)
-    max_needed = int(counts.max()) if len(counts) else 0
-    M = min(max(max_needed, 1), max_tris_per_cell)
-    table = np.full((num_cells, M), -1, np.int32)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    for c in np.nonzero(counts)[0]:
-        n = min(counts[c], M)
-        table[c, :n] = tris_arr[starts[c] : starts[c] + n]
+    table = native.insert_triangles(lo_c, hi_c, dims, max_tris_per_cell)
+    if table is not None:
+        counts = (table >= 0).sum(1)
+        max_needed = int(counts.max()) if num_cells else 0
+        M = max(min(int(max_needed), max_tris_per_cell), 1)
+        table = np.ascontiguousarray(table[:, :M])
+    else:
+        cells_list = []
+        tris_list = []
+        for f in range(len(faces)):
+            for i in range(lo_c[f, 0], hi_c[f, 0] + 1):
+                for j in range(lo_c[f, 1], hi_c[f, 1] + 1):
+                    for k in range(lo_c[f, 2], hi_c[f, 2] + 1):
+                        cells_list.append((i * dims[1] + j) * dims[2] + k)
+                        tris_list.append(f)
+        cells_arr = np.asarray(cells_list, np.int64)
+        tris_arr = np.asarray(tris_list, np.int64)
+        order = np.argsort(cells_arr, kind="stable")
+        cells_arr, tris_arr = cells_arr[order], tris_arr[order]
+
+        counts = np.bincount(cells_arr, minlength=num_cells)
+        max_needed = int(counts.max()) if len(counts) else 0
+        M = min(max(max_needed, 1), max_tris_per_cell)
+        table = np.full((num_cells, M), -1, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for c in np.nonzero(counts)[0]:
+            n = min(counts[c], M)
+            table[c, :n] = tris_arr[starts[c] : starts[c] + n]
 
     return TriangleGrid(
         jnp.asarray(vertices), jnp.asarray(faces.astype(np.int32)),

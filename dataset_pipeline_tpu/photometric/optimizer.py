@@ -258,6 +258,78 @@ def _hb_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
 
 
 @partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
+def _hb_depth_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
+                  depth_pyr, obs_scale, contrib_mask,
+                  scale_count: int, optimize_intrinsics: bool):
+    """H,b for inverse-depth residuals r = 1/D(pix) - 1/z against a FIXED
+    per-image depth-map pyramid, Tukey-weighted
+    (``intrinsics_and_pose_optimizer.cc:1149-1214``; the reference leaves the
+    rig-dependent case unimplemented — so do we)."""
+    from dataset_pipeline_tpu.ops.robust import DEFAULT_DEPTH_TUKEY, tukey_rho, tukey_weight
+
+    P = params.shape[0]
+
+    def residuals(eps, prm):
+        pose = SE3.exp(eps).compose(SE3(pose_q, pose_t))
+        p_cam = pose.apply(level_points)
+        z = p_cam[:, 2]
+        c2 = camera.with_params(prm)
+        pix, _ = cm.project(c2, p_cam)
+        D, _ = _sample_pyramid(depth_pyr, pix, obs_scale)
+        inv_D = jnp.where(D > 0, 1.0 / jnp.maximum(D, 1e-9), 0.0)
+        inv_z = jnp.where(z != 0, 1.0 / jnp.where(z == 0, 1.0, z), 0.0)
+        return inv_D - inv_z  # (N,)
+
+    eps0 = jnp.zeros(6, jnp.float32)
+    r0 = residuals(eps0, params)
+    rho = tukey_rho(r0, DEFAULT_DEPTH_TUKEY)
+    w = tukey_weight(r0, DEFAULT_DEPTH_TUKEY)
+
+    # validity: projected + sampled depth positive
+    pose0 = SE3(pose_q, pose_t)
+    p_cam = pose0.apply(level_points)
+    pix, valid = cm.project(camera, p_cam)
+    D, okD = _sample_pyramid(depth_pyr, pix, obs_scale)
+    ok = valid & okD & (D > 0) & contrib_mask
+    wfull = jnp.where(ok, w, 0.0)
+
+    J_pose, J_int = jax.jacfwd(residuals, argnums=(0, 1))(eps0, params)
+    rows = jnp.concatenate([J_int, J_pose], -1) if optimize_intrinsics else J_pose
+    V = rows.shape[-1]
+    sw = jnp.sqrt(wfull)
+    rows_w = rows * sw[:, None]
+    r_w = r0 * sw
+    H = jax.lax.dot_general(
+        rows_w, rows_w, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    b = jnp.sum(rows_w * r_w[:, None], 0)
+    cost = jnp.sum(jnp.where(ok, rho, 0.0))
+    count = jnp.sum(ok)
+    return H, b, cost, count
+
+
+@partial(jax.jit, static_argnames=("scale_count",))
+def _cost_depth_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
+                    depth_pyr, obs_scale, contrib_mask, scale_count: int):
+    from dataset_pipeline_tpu.ops.robust import DEFAULT_DEPTH_TUKEY, tukey_rho
+
+    pose = SE3(pose_q, pose_t)
+    p_cam = pose.apply(level_points)
+    z = p_cam[:, 2]
+    c2 = camera.with_params(params)
+    pix, valid = cm.project(c2, p_cam)
+    D, okD = _sample_pyramid(depth_pyr, pix, obs_scale)
+    ok = valid & okD & (D > 0) & contrib_mask
+    inv_D = jnp.where(D > 0, 1.0 / jnp.maximum(D, 1e-9), 0.0)
+    inv_z = jnp.where(z != 0, 1.0 / jnp.where(z == 0, 1.0, z), 0.0)
+    r = inv_D - inv_z
+    rho = tukey_rho(r, DEFAULT_DEPTH_TUKEY)
+    return jnp.sum(jnp.where(ok, rho, 0.0)), jnp.sum(ok)
+
+
+@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
 def _hb_one_rig(camera: cm.Camera, params, extr_q, extr_t, ref_q, ref_t,
                 level_points, level_neighbors, level_desc, image_pyr, obs_scale,
                 contrib_mask, scale_count: int, optimize_intrinsics: bool):
@@ -332,7 +404,8 @@ class PhotometricOptimizer:
 
     def __init__(self, problem: PhotoProblem, optimize_intrinsics: bool = True,
                  max_radius_px: int = 3, fixed_weight: float = 1.0,
-                 variable_weight: float = 0.0):
+                 variable_weight: float = 0.0, depth_weight: float = 0.0):
+        self.depth_weight = depth_weight
         # reference defaults enable BOTH residual types (opt/parameters.h:50-51)
         # but variable colors require the alternation; pass variable_weight=1.0
         # to match the reference's default configuration.
@@ -503,11 +576,26 @@ class PhotometricOptimizer:
                         )
                         sums[ti] = sums.get(ti, 0.0) + float(c)
                         counts[ti] = counts.get(ti, 0) + int(n)
+                    if self._depth_active(g):
+                        dpyr = [self.p.depth_map_pyramids[gi][sc][b]
+                                for sc in range(g.level_count)]
+                        c, n = _cost_depth_one(
+                            g.camera, group_params[gi], group_poses[gi].q[b],
+                            group_poses[gi].t[b], level.points, dpyr, s, mask,
+                            g.level_count,
+                        )
+                        sums["depth"] = sums.get("depth", 0.0) + float(c)
+                        counts["depth"] = counts.get("depth", 0) + int(n)
         total = 0.0
         weights = [w for (_, _, w) in self._residual_sets(0)] if self.p.levels else []
         for ti in sums:
-            total += weights[ti] * sums[ti] / max(counts[ti], 1)
+            w = self.depth_weight if ti == "depth" else weights[ti]
+            total += w * sums[ti] / max(counts[ti], 1)
         return total
+
+    def _depth_active(self, g) -> bool:
+        return (self.depth_weight > 0 and self.p.depth_map_pyramids is not None
+                and g.rig_cam_index == 0)
 
     # -- LM step --------------------------------------------------------------
 
@@ -516,6 +604,7 @@ class PhotometricOptimizer:
         H = np.zeros((V, V), np.float64)
         bb = np.zeros(V, np.float64)
         self._lm_cost_sums = [(0.0, 0) for _ in self._residual_sets(0)]
+        self._lm_depth_sums = (0.0, 0)
 
         def scatter(Hb, bvec, col_slices):
             """Accumulate a small symmetric block into the big system.
@@ -570,11 +659,33 @@ class PhotometricOptimizer:
                         cost_sums = self._lm_cost_sums
                         cost_sums[ti] = (cost_sums[ti][0] + float(c),
                                          cost_sums[ti][1] + int(n))
+                    if self._depth_active(g):
+                        dpyr = [self.p.depth_map_pyramids[gi][sc][b]
+                                for sc in range(g.level_count)]
+                        Hb, bvec, c, n = _hb_depth_one(
+                            g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
+                            level.points, dpyr, s, mask, g.level_count,
+                            self.optimize_intrinsics,
+                        )
+                        op = offsets_pose[gi] + 6 * b
+                        slices = []
+                        if nint:
+                            slices.append((slice(oi, oi + P), 0, P))
+                        slices.append((slice(op, op + 6), nint, 6))
+                        scatter(self.depth_weight * np.asarray(Hb, np.float64),
+                                self.depth_weight * np.asarray(bvec, np.float64),
+                                slices)
+                        self._lm_depth_sums = (
+                            self._lm_depth_sums[0] + float(c),
+                            self._lm_depth_sums[1] + int(n),
+                        )
         weights = [w for (_, _, w) in self._residual_sets(0)]
         initial = sum(
             w * s_ / max(n_, 1)
             for w, (s_, n_) in zip(weights, self._lm_cost_sums)
         )
+        if self._lm_depth_sums[1] > 0:
+            initial += self.depth_weight * self._lm_depth_sums[0] / self._lm_depth_sums[1]
 
         applied = False
         max_change = 0.0

@@ -104,6 +104,9 @@ class PhotoProblem:
     scale_count: int  # global image scale count
     rig_extrinsics: List[SE3] = field(default_factory=list)  # per rig: (ncams,) image_T_rig
     occlusion_mesh: Optional[object] = None  # ops.mesh_raster.OcclusionMesh
+    # fixed per-image depth maps for the optional inverse-depth residual:
+    # per group, per group scale, (B,H_s,W_s); build with build_image_pyramid
+    depth_map_pyramids: Optional[List[List[jnp.ndarray]]] = None
     max_valid_intensity: float = 252.0
     occlusion_depth_threshold: float = 0.01
 

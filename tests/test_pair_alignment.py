@@ -78,3 +78,72 @@ def test_small_offset_pair_with_variable_colors():
     print(f"[variable colors] t_err {t_err:.5f}, r_err {r_err_deg:.4f} deg")
     assert t_err / fx.average_scene_depth <= 1e-2
     assert r_err_deg <= 1.0
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="reference fixture not present")
+def test_small_offset_pair_with_depth_residuals():
+    """Depth residual variant (reference test_alignment.cc GT-depth cases):
+    inverse-depth residuals against image A's own depth map sharpen the
+    estimate; bounds must still hold."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.models.lie import SE3
+    from dataset_pipeline_tpu.photometric import pair_alignment as pa
+    from dataset_pipeline_tpu.photometric.optimizer import PhotometricOptimizer
+    from dataset_pipeline_tpu.photometric.problem import build_image_pyramid
+
+    fx = load_pair_fixture(FIXTURE)
+    pts, colors = cloud_from_depth(fx.camera, fx.depth_a, fx.depth_factor, fx.image_a)
+    init = np.eye(4, dtype=np.float32)
+
+    # Build the problem via the harness internals, then attach depth maps
+    # for image A only (image B depth is withheld -> 0 contributions there).
+    import dataset_pipeline_tpu.models.cameras as cmod
+
+    def to_gray(img):
+        c = img.astype(np.float32)
+        return 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
+
+    from dataset_pipeline_tpu.photometric.multiscale import build_multiscale_cloud
+    from dataset_pipeline_tpu.photometric.problem import (
+        ImageGroup, PhotoProblem, build_photo_level, image_scale_count,
+    )
+
+    H, W = fx.depth_a.shape
+    scale_count = image_scale_count(W, H)
+    images = np.stack([to_gray(fx.image_a), to_gray(fx.image_b)])
+    pyr = build_image_pyramid(images, scale_count)
+    poses = SE3.from_matrix(jnp.asarray(np.stack([init, init]), jnp.float32))
+    levels_raw = build_multiscale_cloud(pts, colors, np.zeros(len(pts), np.uint8),
+                                        poses, fx.camera, scale_count)
+    levels = [pl for i, lv in enumerate(levels_raw)
+              if (pl := build_photo_level(lv, seed=i)) is not None]
+
+    depth_a = fx.depth_a.astype(np.float32) * fx.depth_factor
+    depth_maps = np.stack([depth_a, np.zeros_like(depth_a)])  # B has no depth
+    depth_pyr = build_image_pyramid(depth_maps, scale_count)
+
+    group = ImageGroup(camera=fx.camera, pyramid=pyr, poses=poses,
+                       image_ids=[0, 1], min_image_scale=0)
+    problem = PhotoProblem(
+        groups=[group], levels=levels,
+        occlusion_points=jnp.asarray(pts),
+        occlusion_radius=float(np.median(pts[:, 2])) * 2.0 / float(fx.camera.fx),
+        scale_count=scale_count,
+        depth_map_pyramids=[depth_pyr],
+    )
+    opt = PhotometricOptimizer(problem, optimize_intrinsics=False,
+                               depth_weight=0.5)
+    opt.run(max_iterations_per_scale=50)
+
+    g = opt.p.groups[0]
+    pose_a = SE3(jnp.asarray(g.poses.q[0]), jnp.asarray(g.poses.t[0]))
+    pose_b = SE3(jnp.asarray(g.poses.q[1]), jnp.asarray(g.poses.t[1]))
+    a_T_b_est = np.asarray(pose_a.compose(pose_b.inverse()).matrix())
+    gt = fx.a_T_b
+    t_err = np.linalg.norm(a_T_b_est[:3, 3] - gt[:3, 3])
+    rel = a_T_b_est[:3, :3] @ gt[:3, :3].T
+    r_err_deg = np.rad2deg(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+    print(f"[depth residuals] t_err {t_err:.5f}, r_err {r_err_deg:.4f} deg")
+    assert t_err / fx.average_scene_depth <= 1e-2
+    assert r_err_deg <= 1.0
