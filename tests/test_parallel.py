@@ -1,0 +1,106 @@
+"""Sharded normal equations + Schur-complement BA tests on the 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dataset_pipeline_tpu.parallel.ba import joint_ba_step, schur_eliminate_images
+from dataset_pipeline_tpu.parallel.mesh import make_data_mesh, replicated, shard_rows
+from dataset_pipeline_tpu.parallel.normal_equations import sharded_icp_hb
+
+RNG = np.random.RandomState(23)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_data_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_icp_hb_matches_single_device():
+    from dataset_pipeline_tpu.icp.point_to_plane import _icp_hb_cost
+
+    C = 3
+    m = 8 * 64
+    ps = RNG.randn(m, 3).astype(np.float32)
+    ns = RNG.randn(m, 3).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    pt = ps + 0.01 * RNG.randn(m, 3).astype(np.float32)
+    nt = ns.copy()
+    sid = RNG.randint(0, C, m).astype(np.int32)
+    tid = ((sid + 1) % C).astype(np.int32)
+    w = np.ones(m, np.float32)
+    q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (C, 1))
+    t = np.zeros((C, 3), np.float32)
+
+    H1, b1, c1 = _icp_hb_cost(*(jnp.asarray(x) for x in (q, t, ps, ns, pt, nt, sid, tid, w)), C)
+
+    mesh = make_data_mesh()
+    args = [shard_rows(mesh, jnp.asarray(x)) for x in (ps, ns, pt, nt, sid, tid, w)]
+    H2, b2, c2 = sharded_icp_hb(mesh, replicated(mesh, jnp.asarray(q)),
+                                replicated(mesh, jnp.asarray(t)), *args, C)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-5)
+
+
+def test_schur_elimination_matches_direct_solve():
+    n_keep, m = 10, 5
+    n = n_keep + 6 * m
+    A = RNG.randn(n, n)
+    H = A @ A.T + n * np.eye(n)
+    # zero out image-image off-diagonal coupling (the structure Schur exploits)
+    for i in range(m):
+        for j in range(m):
+            if i != j:
+                H[n_keep + 6 * i : n_keep + 6 * i + 6,
+                  n_keep + 6 * j : n_keep + 6 * j + 6] = 0
+    b = RNG.randn(n)
+    x_direct = np.linalg.solve(H, b)
+
+    S, rhs, back = schur_eliminate_images(
+        jnp.asarray(H, jnp.float32), jnp.asarray(b, jnp.float32), n_keep, m)
+    xk = jnp.linalg.solve(S, rhs)
+    xi = back(xk)
+    x_schur = np.concatenate([np.asarray(xk), np.asarray(xi).reshape(-1)])
+    np.testing.assert_allclose(x_schur, x_direct, rtol=2e-3, atol=2e-3)
+
+
+def test_joint_ba_step_reduces_synthetic_cost():
+    """Joint 'scan+image' toy problem: rows couple a kept variable block and
+    one image block each; one damped GN step must reduce the quadratic cost."""
+    n_keep, m = 8, 4
+    n_vars = n_keep + 6 * m
+    R = 8 * 32
+    # random Jacobian rows with the BA sparsity: kept block + one image block
+    rows = np.zeros((R, n_vars), np.float32)
+    rows[:, :n_keep] = RNG.randn(R, n_keep) * 0.3
+    img_of_row = RNG.randint(0, m, R)
+    for i in range(R):
+        o = n_keep + 6 * img_of_row[i]
+        rows[i, o : o + 6] = RNG.randn(6)
+    x_true = RNG.randn(n_vars).astype(np.float32) * 0.1
+    r = (rows @ x_true).astype(np.float32)  # residual = J x_true (pull toward -x_true)
+    w = np.ones(R, np.float32)
+
+    mesh = make_data_mesh()
+
+    def row_fn(rows, r, w):
+        return rows, r, w
+
+    sharded_inputs = (
+        shard_rows(mesh, jnp.asarray(rows)),
+        shard_rows(mesh, jnp.asarray(r)),
+        shard_rows(mesh, jnp.asarray(w)),
+    )
+    xk, xi, cost = joint_ba_step(
+        mesh, row_fn, sharded_inputs, (P("data"), P("data"), P("data")),
+        n_keep, m, lam=1e-4,
+    )
+    x = np.concatenate([np.asarray(xk), np.asarray(xi).reshape(-1)])
+    # GN on a linear problem solves it in one step: x ~= x_true
+    np.testing.assert_allclose(x, x_true, atol=5e-3)
+    # applying -x zeroes the residual
+    new_r = r - rows @ x
+    assert np.linalg.norm(new_r) < 1e-2 * np.linalg.norm(r)
