@@ -118,6 +118,10 @@ def main(argv=None) -> int:
     p.add_argument("--splat_radius", type=float, default=DEFAULT_SPLAT_RADIUS)
     p.add_argument("--camera_ids_to_ignore", default="")
     p.add_argument("--fix_intrinsics", action="store_true")
+    p.add_argument("--multi_res_point_cloud_directory_path", default="",
+                   help="cache dir for the multi-resolution point cloud")
+    p.add_argument("--fixed_residuals_weight", type=float, default=1.0)
+    p.add_argument("--variable_residuals_weight", type=float, default=1.0)
     args = p.parse_args(argv)
 
     ignore = {int(v) for v in args.camera_ids_to_ignore.split(",") if v}
@@ -169,9 +173,29 @@ def main(argv=None) -> int:
     )
     # use the largest camera for radius estimation (conservative)
     largest = max((g.camera for g in groups), key=lambda c: c.width * c.height)
-    levels_raw = build_multiscale_cloud(
-        all_pts, all_cols, scan_idx, all_poses, largest, global_count,
-    )
+    cache_params = {
+        "num_points": int(len(all_pts)),
+        "scale_count": int(global_count),
+        "num_images": int(sum(g.num_images for g in groups)),
+    }
+    levels_raw = None
+    if args.multi_res_point_cloud_directory_path:
+        from dataset_pipeline_tpu.photometric.cache import (
+            load_multiscale_cache,
+            save_multiscale_cache,
+        )
+
+        levels_raw = load_multiscale_cache(
+            args.multi_res_point_cloud_directory_path, cache_params)
+        if levels_raw is not None:
+            print("loaded multi-resolution point cloud from cache")
+    if levels_raw is None:
+        levels_raw = build_multiscale_cloud(
+            all_pts, all_cols, scan_idx, all_poses, largest, global_count,
+        )
+        if args.multi_res_point_cloud_directory_path:
+            save_multiscale_cache(
+                args.multi_res_point_cloud_directory_path, levels_raw, cache_params)
     levels = []
     for i, lv in enumerate(levels_raw):
         pl = build_photo_level(lv, seed=i)
@@ -187,7 +211,11 @@ def main(argv=None) -> int:
         scale_count=global_count,
         occlusion_mesh=occlusion_mesh,
     )
-    opt = PhotometricOptimizer(problem, optimize_intrinsics=not args.fix_intrinsics)
+    opt = PhotometricOptimizer(
+        problem, optimize_intrinsics=not args.fix_intrinsics,
+        fixed_weight=args.fixed_residuals_weight,
+        variable_weight=args.variable_residuals_weight,
+    )
 
     os.makedirs(args.output_folder_path, exist_ok=True)
 
