@@ -1,0 +1,12 @@
+from dataset_pipeline_tpu.editor.ops import (  # noqa: F401
+    select_beyond_plane,
+    select_lasso,
+    crop_mesh_to_box,
+    apply_up_direction,
+)
+from dataset_pipeline_tpu.editor.labels import (  # noqa: F401
+    LabelDefinition,
+    read_label_definitions,
+    read_labels,
+    write_labels,
+)
