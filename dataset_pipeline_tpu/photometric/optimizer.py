@@ -123,6 +123,34 @@ def _visibility_one_image(camera: cm.Camera, pose_q, pose_t, points, radius,
     return valid, obs_scale
 
 
+@jax.jit
+def _mask_oversaturation_filter(camera: cm.Camera, pose_q, pose_t, points,
+                                obs_scale, valid, image_pyr, mask_pyr,
+                                max_valid_intensity):
+    """Reject observations whose coarse-interp-scale pixel is masked or
+    oversaturated (``visibility_estimator.cc:482-509``). ``mask_pyr`` may be
+    an empty list (no masks)."""
+    pose = SE3(pose_q, pose_t)
+    p_cam = pose.apply(points)
+    pix, _ = cm.project(camera, p_cam)
+    si = jnp.floor(obs_scale).astype(jnp.int32) + 1
+    L = len(image_pyr)
+    keep = valid
+    for s in range(1, L):
+        f = 2.0 ** (-s)
+        xs = f * (pix[:, 0] + 0.5) - 0.5
+        ys = f * (pix[:, 1] + 0.5) - 0.5
+        H, W = image_pyr[s].shape
+        ix = jnp.clip(jnp.floor(xs + 0.5).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(jnp.floor(ys + 0.5).astype(jnp.int32), 0, H - 1)
+        at_scale = si == s
+        bad = image_pyr[s][iy, ix] > max_valid_intensity
+        if mask_pyr:
+            bad = bad | (mask_pyr[s][iy, ix] != 0)
+        keep = keep & ~(at_scale & bad)
+    return keep
+
+
 # ---------------------------------------------------------------------------
 # Intensity sampling across the pyramid at a continuous scale
 # ---------------------------------------------------------------------------
@@ -511,6 +539,15 @@ class PhotometricOptimizer:
                         jnp.asarray(level.radius, jnp.float32), occl[gi][b],
                         jnp.asarray(local_current, jnp.float32),
                         g.level_count, cam.width, cam.height,
+                    )
+                    mask_pyr = (
+                        [mp[b] for mp in g.mask_pyramid]
+                        if getattr(g, "mask_pyramid", None) else []
+                    )
+                    m = _mask_oversaturation_filter(
+                        cam, g.poses.q[b], g.poses.t[b], level.points, s, m,
+                        self._image_pyr(gi, b), mask_pyr,
+                        jnp.asarray(self.p.max_valid_intensity, jnp.float32),
                     )
                     per_level.append((m, s))
                 g_vis.append(per_level)

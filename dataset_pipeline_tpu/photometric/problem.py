@@ -85,6 +85,8 @@ class ImageGroup:
     rig_cam_index: int = 0
     ref_group: int = -1  # index of the reference camera's group
     ref_slots: Optional[np.ndarray] = None  # per image: index into ref group
+    # optional observation masks (photometric/masks.py), per scale (B,H_s,W_s)
+    mask_pyramid: Optional[List[jnp.ndarray]] = None
 
     @property
     def num_images(self) -> int:

@@ -43,8 +43,10 @@ MAX_OCCLUSION_DEPTH = 100.0
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def _visible_mask(camera: cm.Camera, pose_q, pose_t, points, occl_depth,
-                  width: int, height: int):
-    """Visibility of each point in one image (projection + z-test)."""
+                  width: int, height: int, eval_mask=None):
+    """Visibility of each point in one image (projection + z-test + optional
+    eval mask: pixels whose mask value equals kEvalObs are excluded, matching
+    ``ground_truth_creator.cc:77``)."""
     p_cam = quat_rotate(pose_q[None], points) + pose_t[None]
     z = p_cam[:, 2]
     pix, valid = cm.project(camera, p_cam)
@@ -55,14 +57,18 @@ def _visible_mask(camera: cm.Camera, pose_q, pose_t, points, occl_depth,
     iyc = jnp.clip(iy, 0, height - 1)
     occ = occl_depth[iyc, ixc]
     vis = inside & (z > 0) & (occ + OCCLUSION_DEPTH_THRESHOLD >= z)
+    if eval_mask is not None:
+        from dataset_pipeline_tpu.photometric.masks import MASK_EVAL_OBS
+
+        vis = vis & (eval_mask[iyc, ixc] != MASK_EVAL_OBS)
     return vis, ix, iy, z
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def _gt_depth_image(camera: cm.Camera, pose_q, pose_t, points, keep, occl_depth,
-                    width: int, height: int):
+                    width: int, height: int, eval_mask=None):
     vis, ix, iy, z = _visible_mask(camera, pose_q, pose_t, points, occl_depth,
-                                   width, height)
+                                   width, height, eval_mask)
     ok = vis & keep
     flat = jnp.where(ok, iy * width + ix, -1)
     depth = jnp.full((height * width,), jnp.inf, jnp.float32)
@@ -72,9 +78,10 @@ def _gt_depth_image(camera: cm.Camera, pose_q, pose_t, points, keep, occl_depth,
 
 @partial(jax.jit, static_argnames=("width", "height", "radius"))
 def _scan_rendering(camera: cm.Camera, pose_q, pose_t, points, colors, keep,
-                    occl_depth, base_image, width: int, height: int, radius: int):
+                    occl_depth, base_image, width: int, height: int, radius: int,
+                    eval_mask=None):
     vis, ix, iy, _ = _visible_mask(camera, pose_q, pose_t, points, occl_depth,
-                                   width, height)
+                                   width, height, eval_mask)
     ok = vis & keep
     img = base_image
     for dy in range(-radius, radius + 1):
@@ -199,15 +206,24 @@ def main(argv=None) -> int:
                       ModelState(state.cameras, rot_images, scans.scale_factor))
 
     occl_cache = {}
+    eval_masks = {}
     for im in images:
         cam = state.cameras[im.camera_id]
         pose = image_pose(im)
         od = render_occlusion_depth(cam, pose, occl_points, args.splat_radius,
                                     occlusion_mesh=occlusion_mesh)
         occl_cache[im.image_id] = od
+        em = None
+        if args.image_base_path:
+            from dataset_pipeline_tpu.photometric.masks import image_mask_path, load_mask
+
+            m = load_mask(image_mask_path(args.image_base_path, im.name))
+            if m is not None:
+                em = jnp.asarray(m if m.ndim == 2 else m.max(-1))
+        eval_masks[im.image_id] = em
         for si, ptsb in enumerate(scan_pts):
             vis, _, _, _ = _visible_mask(cam, pose.q, pose.t, jnp.asarray(ptsb),
-                                         od, cam.width, cam.height)
+                                         od, cam.width, cam.height, em)
             counts[si] += np.asarray(vis, np.int64)
         if args.write_occlusion_depth:
             folder = os.path.join(args.output_folder_path, "occlusion_depth",
@@ -246,7 +262,8 @@ def main(argv=None) -> int:
             od = occl_cache[im.image_id]
             if args.write_depth_maps:
                 d = _gt_depth_image(cam, pose.q, pose.t, all_pts, all_keep, od,
-                                    cam.width, cam.height)
+                                    cam.width, cam.height,
+                                    eval_masks.get(im.image_id))
                 folder = os.path.join(args.output_folder_path, "ground_truth_depth",
                                       os.path.dirname(im.name))
                 os.makedirs(folder, exist_ok=True)
@@ -262,7 +279,8 @@ def main(argv=None) -> int:
                         np.asarray(Image.open(img_path).convert("RGB")), jnp.uint8)
                     out = _scan_rendering(cam, pose.q, pose.t, all_pts, all_cols,
                                           all_keep, od, base, cam.width, cam.height,
-                                          args.scan_point_radius)
+                                          args.scan_point_radius,
+                                          eval_masks.get(im.image_id))
                     folder = os.path.join(args.output_folder_path, "scan_rendering",
                                           os.path.dirname(im.name))
                     os.makedirs(folder, exist_ok=True)

@@ -61,11 +61,15 @@ def load_groups(state: ModelState, image_base_path: str):
         global_count = max(global_count, count)
         group_descs.append((cid, cam, by_cam[cid], count))
 
+    from dataset_pipeline_tpu.photometric.masks import build_mask_pyramid, combined_mask
+
     groups = []
     for cid, cam, ims, count in group_descs:
         grays = []
         poses_mats = []
         ids = []
+        masks = []
+        any_mask = False
         for im in ims:
             img = np.asarray(PILImage.open(os.path.join(image_base_path, im.name)).convert("L"),
                              np.float32)
@@ -77,11 +81,16 @@ def load_groups(state: ModelState, image_base_path: str):
             grays.append(img)
             poses_mats.append(_pose_matrix(im))
             ids.append(im.image_id)
+            m = combined_mask(image_base_path, im.name, img.shape)
+            if m is not None:
+                any_mask = True
+            masks.append(m if m is not None else np.zeros(img.shape, np.uint8))
         pyramid = build_image_pyramid(np.stack(grays), count)
         poses = SE3.from_matrix(jnp.asarray(np.stack(poses_mats), jnp.float32))
+        mask_pyr = build_mask_pyramid(np.stack(masks), count) if any_mask else None
         groups.append(
             ImageGroup(camera=cam, pyramid=pyramid, poses=poses, image_ids=ids,
-                       min_image_scale=global_count - count)
+                       min_image_scale=global_count - count, mask_pyramid=mask_pyr)
         )
     return groups, global_count
 
