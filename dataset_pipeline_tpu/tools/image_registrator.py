@@ -51,6 +51,9 @@ def load_groups(state: ModelState, image_base_path: str):
 
     by_cam = defaultdict(list)
     for im in state.images:
+        if not os.path.exists(os.path.join(image_base_path, im.name)):
+            print(f"warning: image file missing, skipping: {im.name}")
+            continue
         by_cam[im.camera_id].append(im)
 
     group_descs = []
@@ -136,7 +139,61 @@ def main(argv=None) -> int:
     ignore = {int(v) for v in args.camera_ids_to_ignore.split(",") if v}
     scans = load_scan_set(args.scan_alignment_path)
     state = load_colmap_state(args.state_path, scans.scale_factor, ignore)
+
+    # rigs: make poses consistent, derive extrinsics, mark dependent cameras
+    rig_infos = []
+    rigs_path = os.path.join(args.state_path, "rigs.json")
+    if os.path.exists(rigs_path):
+        from dataset_pipeline_tpu.io.colmap import read_rigs_json
+        from dataset_pipeline_tpu.photometric.rig import assign_rigs
+
+        rig_infos = assign_rigs(state, read_rigs_json(rigs_path))
+        print(f"{len(rig_infos)} rig(s) assigned")
+
     groups, global_count = load_groups(state, args.image_base_path)
+
+    rig_extrinsics = []
+    if rig_infos:
+        from dataset_pipeline_tpu.photometric.rig import rig_extrinsics_se3
+
+        cam_to_group = {}
+        for gi, g in enumerate(groups):
+            for im in state.images:
+                if im.image_id in g.image_ids:
+                    cam_to_group[im.camera_id] = gi
+                    break
+        for rig in rig_infos:
+            rig_extrinsics.append(rig_extrinsics_se3(rig))
+            ref_gi = cam_to_group.get(rig.camera_ids[0], -1)
+            if ref_gi < 0:
+                continue
+            ref_ids = groups[ref_gi].image_ids
+            # ref slot per set: index of the set's reference image
+            set_of_image = {}
+            for s in rig.sets:
+                for c, iid in enumerate(s.image_ids):
+                    set_of_image[iid] = s
+            for c in range(1, len(rig.camera_ids)):
+                gi = cam_to_group.get(rig.camera_ids[c], -1)
+                if gi < 0:
+                    continue
+                g = groups[gi]
+                slots = []
+                ok = True
+                for iid in g.image_ids:
+                    s = set_of_image.get(iid)
+                    if s is None or s.image_ids[0] not in ref_ids:
+                        ok = False
+                        break
+                    slots.append(ref_ids.index(s.image_ids[0]))
+                if ok:
+                    g.rig_id = rig.rig_id
+                    g.rig_cam_index = c
+                    g.ref_group = ref_gi
+                    g.ref_slots = np.asarray(slots, np.int32)
+                else:
+                    print(f"warning: camera {rig.camera_ids[c]} left rig-independent "
+                          "(incomplete sets)")
     print(f"{len(groups)} camera groups, {sum(g.num_images for g in groups)} images, "
           f"{global_count} image scales")
 
@@ -219,6 +276,7 @@ def main(argv=None) -> int:
         occlusion_radius=args.splat_radius,
         scale_count=global_count,
         occlusion_mesh=occlusion_mesh,
+        rig_extrinsics=rig_extrinsics,
     )
     opt = PhotometricOptimizer(
         problem, optimize_intrinsics=not args.fix_intrinsics,
