@@ -122,7 +122,14 @@ def _icp_inner_lm_device(q, t, ps, ns, pt, nt, src_id, tgt_id, w,
     C = num_clouds
     n_var = 6 * (C - 1)
 
+    use_pallas = jax.default_backend() not in ("cpu",)
+
     def hb(q, t):
+        if use_pallas:
+            from dataset_pipeline_tpu.ops.pallas_gn import icp_hb_cost_pallas
+
+            return icp_hb_cost_pallas(q, t, ps, ns, pt, nt, src_id, tgt_id, w,
+                                      C, chunk=32768)
         return _icp_hb_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, C, chunk)
 
     def cost_of(q, t):

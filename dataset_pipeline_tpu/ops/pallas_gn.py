@@ -27,15 +27,21 @@ from jax.experimental.pallas import tpu as pltpu
 from dataset_pipeline_tpu.models.lie import quat_rotate
 
 
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
 def _gn_kernel(j1_ref, j2_ref, r1_ref, r2_ref, sid_ref, tid_ref, w_ref,
-               H_ref, b_ref, cost_ref, *, C: int):
+               G_ref, *, C: int):
+    """Accumulates the augmented Gram matrix G = [rows; r][rows; r]^T so one
+    MXU contraction yields H (top-left), b (last data column), and the cost
+    (corner) — also sidestepping Mosaic's constant-accumulator limitation on
+    matrix-vector reductions."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        H_ref[:] = jnp.zeros_like(H_ref)
-        b_ref[:] = jnp.zeros_like(b_ref)
-        cost_ref[:] = jnp.zeros_like(cost_ref)
+        G_ref[:] = jnp.zeros_like(G_ref)
 
     j1 = j1_ref[:]  # (8, CH) — rows 0..5 are the Jacobian, 6..7 zero padding
     j2 = j2_ref[:]
@@ -49,33 +55,26 @@ def _gn_kernel(j1_ref, j2_ref, r1_ref, r2_ref, sid_ref, tid_ref, w_ref,
     blocks2 = []
     for c in range(C):
         s1 = ((tid == c).astype(jnp.float32) - (sid == c).astype(jnp.float32))
-        s2 = -s1  # residual 2 has +j2 at src, -j2 at tgt
         blocks1.append(j1[:6, :] * s1)
-        blocks2.append(j2[:6, :] * s2)
-    rows1 = jnp.concatenate(blocks1, axis=0)  # (6C, CH)
-    rows2 = jnp.concatenate(blocks2, axis=0)
-
+        blocks2.append(j2[:6, :] * (-s1))  # residual 2: +j2 at src, -j2 at tgt
     sw = jnp.sqrt(w)
-    rows1 = rows1 * sw
-    rows2 = rows2 * sw
-    r1w = r1 * sw
-    r2w = r2 * sw
+    S = _pad8(6 * C + 1)
+    pad_rows = S - (6 * C + 1)
+    zero = jnp.zeros((pad_rows, j1.shape[1]), jnp.float32)
+    A1 = jnp.concatenate(blocks1 + [r1, zero], axis=0) * sw  # (S, CH)
+    A2 = jnp.concatenate(blocks2 + [r2, zero], axis=0) * sw
 
     dims = (((1,), (1,)), ((), ()))
-    H_ref[:] += (
-        jax.lax.dot_general(rows1, rows1, dims, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(rows2, rows2, dims, preferred_element_type=jnp.float32)
+    G_ref[:] += (
+        jax.lax.dot_general(A1, A1, dims, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(A2, A2, dims, preferred_element_type=jnp.float32)
     )
-    b_ref[:] += (
-        jax.lax.dot_general(rows1, r1w, dims, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(rows2, r2w, dims, preferred_element_type=jnp.float32)
-    )
-    cost_ref[0, 0] += jnp.sum(r1w * r1w) + jnp.sum(r2w * r2w)
 
 
-@partial(jax.jit, static_argnames=("num_clouds", "chunk"))
+@partial(jax.jit, static_argnames=("num_clouds", "chunk", "interpret"))
 def icp_hb_cost_pallas(q, t, ps, ns, pt, nt, sid, tid, w,
-                       num_clouds: int, chunk: int = 16384):
+                       num_clouds: int, chunk: int = 16384,
+                       interpret: bool = False):
     """Drop-in replacement for the XLA H,b,cost accumulation.
 
     M must not be huge relative to VMEM per chunk; chunk rows are processed
@@ -116,12 +115,8 @@ def icp_hb_cost_pallas(q, t, ps, ns, pt, nt, sid, tid, w,
     w_t = w[None, :]
 
     grid = Mp // chunk
-    out_shapes = (
-        jax.ShapeDtypeStruct((6 * C, 6 * C), jnp.float32),
-        jax.ShapeDtypeStruct((6 * C, 1), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
-    )
-    H, b, cost = pl.pallas_call(
+    S = _pad8(6 * C + 1)
+    G = pl.pallas_call(
         partial(_gn_kernel, C=C),
         grid=(grid,),
         in_specs=[
@@ -133,11 +128,9 @@ def icp_hb_cost_pallas(q, t, ps, ns, pt, nt, sid, tid, w,
             pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((6 * C, 6 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6 * C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shapes,
+        out_specs=pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, S), jnp.float32),
+        interpret=interpret,
     )(j1_t, j2_t, r1_t, r2_t, sid_t, tid_t, w_t)
-    return H, b[:, 0], cost[0, 0]
+    n = 6 * C
+    return G[:n, :n], G[:n, n], G[n, n]

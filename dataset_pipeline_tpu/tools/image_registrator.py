@@ -127,6 +127,13 @@ def main(argv=None) -> int:
     p.add_argument("--state_path", required=True)
     p.add_argument("--output_folder_path", required=True)
     p.add_argument("--max_iterations", type=int, default=400)
+    p.add_argument("--initial_scaling_factor", type=float, default=0.0,
+                   help="resume: start the schedule at this scaling factor "
+                        "(e.g. 0.25); 0 = coarsest usable scale. Point "
+                        "--state_path at a previous scale_<f>_state dir to "
+                        "continue from its poses (image_registrator.cc:95-101)")
+    p.add_argument("--target_scaling_factor", type=float, default=1.0,
+                   help="stop after optimizing this scaling factor")
     p.add_argument("--splat_radius", type=float, default=DEFAULT_SPLAT_RADIUS)
     p.add_argument("--camera_ids_to_ignore", default="")
     p.add_argument("--fix_intrinsics", action="store_true")
@@ -298,8 +305,17 @@ def main(argv=None) -> int:
         })
         print(f"scale {o.current_scale} done (cost {report.optimum_cost:.6f}) -> {out}")
 
-    opt.run(max_iterations_per_scale=args.max_iterations, print_progress=True,
-            on_scale_done=on_scale_done)
+    # coarse-to-fine schedule with optional resume window
+    start_scale = global_count - 2
+    if args.initial_scaling_factor > 0:
+        start_scale = max(0, int(round(-np.log2(args.initial_scaling_factor))))
+    end_scale = max(0, int(round(-np.log2(args.target_scaling_factor))))
+    opt.current_scale = min(start_scale, global_count - 2)
+    while True:
+        report = opt.run_on_current_scale(args.max_iterations, print_progress=True)
+        on_scale_done(opt, report)
+        if opt.current_scale <= end_scale or not opt.next_scale():
+            break
     print("finished")
     return 0
 

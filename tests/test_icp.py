@@ -75,3 +75,32 @@ def test_fixed_cloud_stays_fixed():
     res = icp.run(0.3, max_num_iterations=50, convergence_threshold_max_movement=1e-7)
     # movable cloud must come back to identity (the fixed cloud's frame)
     np.testing.assert_allclose(res.poses[0], np.eye(4), atol=5e-4)
+
+
+def test_pallas_gn_kernel_matches_xla():
+    """Pallas fused GN accumulation (interpret mode on CPU) vs the XLA path."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.icp.point_to_plane import _icp_hb_cost
+    from dataset_pipeline_tpu.ops.pallas_gn import icp_hb_cost_pallas
+
+    m = 1024
+    rng = np.random.RandomState(2)
+    ps = jnp.asarray(rng.randn(m, 3).astype(np.float32))
+    ns = rng.randn(m, 3).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    ns = jnp.asarray(ns)
+    pt = ps + 0.01 * jnp.asarray(rng.randn(m, 3).astype(np.float32))
+    nt = ns
+    sid = jnp.asarray(rng.randint(0, 3, m).astype(np.int32))
+    tid = jnp.asarray(((np.asarray(sid) + 1) % 3).astype(np.int32))
+    w = jnp.asarray((rng.rand(m) > 0.1).astype(np.float32))
+    q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (3, 1))
+    t = jnp.asarray(rng.randn(3, 3).astype(np.float32) * 0.01)
+
+    H1, b1, c1 = _icp_hb_cost(q, t, ps, ns, pt, nt, sid, tid, w, 3)
+    H2, b2, c2 = icp_hb_cost_pallas(q, t, ps, ns, pt, nt, sid, tid, w, 3,
+                                    chunk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-5)

@@ -147,3 +147,31 @@ def test_small_offset_pair_with_depth_residuals():
     print(f"[depth residuals] t_err {t_err:.5f}, r_err {r_err_deg:.4f} deg")
     assert t_err / fx.average_scene_depth <= 1e-2
     assert r_err_deg <= 1.0
+
+
+IDENTICAL = "/root/reference/test_data/identical_images.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(IDENTICAL), reason="fixture not present")
+def test_identical_images_stay_at_identity():
+    """Reference identical_images fixture: both frames are the same image;
+    the optimizer must keep (or return to) the identity relative pose."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.models.lie import SE3
+
+    fx = load_pair_fixture(IDENTICAL)
+    pts, colors = cloud_from_depth(fx.camera, fx.depth_a, fx.depth_factor, fx.image_a)
+    init = np.eye(4, dtype=np.float32)
+    poses, _ = align_pair(
+        fx.camera, pts, colors, fx.image_a, fx.image_b, init, init,
+        optimize_intrinsics=False, max_iterations_per_scale=30,
+    )
+    pose_a = SE3(jnp.asarray(poses.q[0]), jnp.asarray(poses.t[0]))
+    pose_b = SE3(jnp.asarray(poses.q[1]), jnp.asarray(poses.t[1]))
+    rel = np.asarray(pose_a.compose(pose_b.inverse()).matrix())
+    t_err = np.linalg.norm(rel[:3, 3])
+    r_err_deg = np.rad2deg(np.arccos(np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1)))
+    print(f"[identical] t_err {t_err:.6f}, r_err {r_err_deg:.5f} deg")
+    assert t_err / fx.average_scene_depth <= 1e-3
+    assert r_err_deg <= 0.1
