@@ -133,6 +133,11 @@ def _icp_inner_lm_device(q, t, ps, ns, pt, nt, src_id, tgt_id, w,
         return _icp_hb_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, C, chunk)
 
     def cost_of(q, t):
+        if use_pallas:
+            # the fused kernel returns cost with H,b at the same price as a
+            # dedicated cost pass through HBM
+            _, _, c = hb(q, t)
+            return c
         return _icp_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, chunk)
 
     def outer_body(state):
