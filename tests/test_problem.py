@@ -1,0 +1,117 @@
+"""Problem-state unit tests.
+
+Mirror of the reference's ``Test_Problem`` binary
+(``opt/test/test_problem.cc:35``: ``DeterminePointNeighbors`` invariants),
+extended with the scale-count formula (``opt/intrinsics.h:82-86``), the
+gradient filter (``opt/problem.cc:251-312``) and the INTER_AREA-equivalent
+box pyramid (``opt/image.cc:106-131``).
+"""
+
+import numpy as np
+
+from dataset_pipeline_tpu.photometric.problem import (
+    build_image_pyramid,
+    determine_point_neighbors,
+    gradient_filter_mask,
+    image_scale_count,
+)
+
+
+def _cloud(n=60, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(n, 3).astype(np.float32)
+    scans = (rng.rand(n) > 0.5).astype(np.uint8)
+    return pts, scans
+
+
+def test_neighbors_shape_range_no_self_no_dup():
+    pts, scans = _cloud()
+    k = 5
+    nbr = determine_point_neighbors(pts, scans, k=k, seed=0)
+    n = len(pts)
+    assert nbr.shape == (n, k)
+    assert nbr.min() >= 0 and nbr.max() < n
+    for i in range(n):
+        assert i not in nbr[i]
+        assert len(set(nbr[i].tolist())) == k
+
+
+def test_neighbors_within_candidate_set():
+    """Every pick must come from the point's 25 nearest neighbors
+    (``opt/problem.cc:706-786``: K random picks of 25 candidates)."""
+    pts, scans = _cloud(80, seed=1)
+    nbr = determine_point_neighbors(pts, scans, k=5, num_candidates=25, seed=0)
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    cand = np.argsort(d, axis=1)[:, :25]
+    for i in range(len(pts)):
+        assert set(nbr[i].tolist()) <= set(cand[i].tolist())
+
+
+def test_neighbors_same_scan_restriction():
+    """With fixed (scan) colors, neighbors never cross scans when enough
+    same-scan candidates exist."""
+    rng = np.random.RandomState(2)
+    # two dense interleaved scans: every point has >=5 same-scan points
+    # among its 25 nearest
+    pts = rng.rand(120, 3).astype(np.float32)
+    scans = (np.arange(120) % 2).astype(np.uint8)
+    nbr = determine_point_neighbors(pts, scans, k=5, seed=0, same_scan_only=True)
+    same = scans[nbr] == scans[:, None]
+    # the restriction applies whenever >=k same-scan candidates exist in the
+    # 25-NN set; verify that case explicitly
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    cand = np.argsort(d, axis=1)[:, :25]
+    for i in range(len(pts)):
+        if (scans[cand[i]] == scans[i]).sum() >= 5:
+            assert same[i].all()
+
+
+def test_neighbors_seeded_determinism():
+    pts, scans = _cloud(50, seed=3)
+    a = determine_point_neighbors(pts, scans, k=5, seed=7)
+    b = determine_point_neighbors(pts, scans, k=5, seed=7)
+    c = determine_point_neighbors(pts, scans, k=5, seed=8)
+    assert (a == b).all()
+    assert (a != c).any()
+
+
+def test_gradient_filter_mask():
+    """Keep iff mean |neighbor - center| >= threshold."""
+    inten = np.asarray([100.0, 100.0, 110.0, 200.0], np.float32)
+    nbr = np.asarray([[1, 2], [0, 2], [0, 1], [0, 1]], np.int32)
+    # point0: |0|,|10| -> mean 5  (kept at threshold 5)
+    # point1: |0|,|10| -> mean 5
+    # point2: |-10|,|-10| -> 10  (kept)
+    # point3: |-100|,|-100| -> 100 (kept)
+    keep = gradient_filter_mask(inten, nbr, min_mean_diff=5.0)
+    assert keep.tolist() == [True, True, True, True]
+    keep6 = gradient_filter_mask(inten, nbr, min_mean_diff=6.0)
+    assert keep6.tolist() == [False, False, True, True]
+
+
+def test_image_scale_count_formula():
+    """max(2, 1 + ceil(log4(area / 200*160)))."""
+    assert image_scale_count(200, 160) == 2
+    assert image_scale_count(100, 100) == 2
+    assert image_scale_count(400, 320) == 2  # 4x area -> 1+1 = 2
+    assert image_scale_count(800, 640) == 3  # 16x -> 1+2
+    assert image_scale_count(6048, 4032) == 6  # ETH3D DSLR
+
+
+def test_build_image_pyramid_box_halving():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (2, 8, 8)).astype(np.uint8)
+    pyr = build_image_pyramid(img, 3)
+    assert [tuple(p.shape) for p in pyr] == [(2, 8, 8), (2, 4, 4), (2, 2, 2)]
+    man = img.astype(np.float32).reshape(2, 4, 2, 4, 2).mean((2, 4))
+    assert np.allclose(np.asarray(pyr[1]), man, atol=1e-5)
+    man2 = man.reshape(2, 2, 2, 2, 2).mean((2, 4))
+    assert np.allclose(np.asarray(pyr[2]), man2, atol=1e-5)
+
+
+def test_build_image_pyramid_odd_sizes_crop():
+    img = np.arange(7 * 9, dtype=np.uint8).reshape(1, 7, 9)
+    pyr = build_image_pyramid(img, 2)
+    assert tuple(pyr[1].shape) == (1, 3, 4)
