@@ -69,6 +69,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.morton_cell_ids.argtypes = [
                 f32p, ctypes.c_int64, f32p, ctypes.c_float, ctypes.c_int32, u64p,
             ]
+            lib.greedy_merge.restype = ctypes.c_int64
+            lib.greedy_merge.argtypes = [
+                f32p, f32p, u8p, f32p, ctypes.c_int64, ctypes.c_float,
+                ctypes.c_int32, f32p, f32p, u8p, f32p,
+            ]
             _lib = lib
     return _lib
 
@@ -89,6 +94,30 @@ def insert_triangles(lo_cells: np.ndarray, hi_cells: np.ndarray, dims,
         len(lo_cells), dims, max_per_cell, table, counts, num_cells,
     )
     return table
+
+
+def greedy_merge(points: np.ndarray, colors: np.ndarray, scan_indices: np.ndarray,
+                 max_radius: np.ndarray, merge_distance: float,
+                 num_scans: int):
+    """Reference-semantics greedy radius merge (C fast path); None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(points)
+    out_pts = np.empty((max(n, 1), 3), np.float32)
+    out_col = np.empty(max(n, 1), np.float32)
+    out_scan = np.empty(max(n, 1), np.uint8)
+    out_mr = np.empty(max(n, 1), np.float32)
+    m = lib.greedy_merge(
+        np.ascontiguousarray(points, np.float32),
+        np.ascontiguousarray(colors, np.float32),
+        np.ascontiguousarray(scan_indices, np.uint8),
+        np.ascontiguousarray(max_radius, np.float32),
+        n, np.float32(merge_distance), num_scans,
+        out_pts, out_col, out_scan, out_mr,
+    )
+    return out_pts[:m].copy(), out_col[:m].copy(), out_scan[:m].copy(), out_mr[:m].copy()
 
 
 def morton_codes(points: np.ndarray, origin: np.ndarray, cell_size: float,

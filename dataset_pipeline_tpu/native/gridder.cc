@@ -10,6 +10,7 @@
 #include <algorithm>
 #include <atomic>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -69,6 +70,100 @@ void gather_ply_vertices(const uint8_t* data, int64_t count, int64_t stride,
     if (s < e) threads.emplace_back(work, s, e);
   }
   for (auto& th : threads) th.join();
+}
+
+// Greedy radius merge of close points, matching the reference's
+// MergeClosePoints semantics (opt/multi_scale_point_cloud.cc:44-125):
+// iterate seed points in input order, skipping seeds already merged;
+// average positions over ALL points within merge_distance of the seed
+// (including points already merged into earlier clusters — the reference
+// only skips done SEEDS, not done neighbors); average the color over the
+// dominant scan's members only; max_radius = max over members. The KdTree
+// radius search is replaced by a uniform grid with cell = merge_distance
+// and a 27-cell probe with exact distance recheck. Returns the number of
+// output points.
+int64_t greedy_merge(const float* pts, const float* colors,
+                     const uint8_t* scans, const float* max_radius,
+                     int64_t n, float merge_distance, int32_t num_scans,
+                     float* out_pts, float* out_colors, uint8_t* out_scans,
+                     float* out_max_radius) {
+  if (n == 0) return 0;
+  const float r2 = merge_distance * merge_distance;
+  const float inv_cell = 1.0f / std::max(merge_distance, 1e-12f);
+  float mn[3] = {pts[0], pts[1], pts[2]};
+  for (int64_t i = 1; i < n; ++i)
+    for (int d = 0; d < 3; ++d) mn[d] = std::min(mn[d], pts[3 * i + d]);
+  // 21-bit packed cell key; coordinates clamp at 2^21-2 so the +1 probe stays
+  // in range (collisions would only add distance-rejected candidates anyway,
+  // because the exact r2 test below keeps correctness).
+  const int64_t maxc = (1LL << 21) - 2;
+  auto cell_of = [&](const float* p, int64_t c[3]) {
+    for (int d = 0; d < 3; ++d) {
+      int64_t v = (int64_t)((p[d] - mn[d]) * inv_cell);
+      c[d] = std::min(std::max(v, (int64_t)0), maxc);
+    }
+  };
+  auto key_of = [](const int64_t c[3]) {
+    return ((uint64_t)c[0] << 42) | ((uint64_t)c[1] << 21) | (uint64_t)c[2];
+  };
+  std::unordered_map<uint64_t, std::vector<int32_t>> grid;
+  grid.reserve((size_t)(n / 2 + 16));
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t c[3];
+    cell_of(pts + 3 * i, c);
+    grid[key_of(c)].push_back((int32_t)i);
+  }
+  std::vector<char> done(n, 0);
+  std::vector<double> color_sum(num_scans);
+  std::vector<int> scan_count(num_scans);
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (done[i]) continue;
+    std::fill(color_sum.begin(), color_sum.end(), 0.0);
+    std::fill(scan_count.begin(), scan_count.end(), 0);
+    double avg[3] = {0, 0, 0};
+    int total = 0;
+    float mr = -1.0f;
+    int best_scan = 0, best_count = 0;
+    const float* p = pts + 3 * i;
+    int64_t c[3];
+    cell_of(p, c);
+    for (int64_t di = -1; di <= 1; ++di) {
+      for (int64_t dj = -1; dj <= 1; ++dj) {
+        for (int64_t dk = -1; dk <= 1; ++dk) {
+          int64_t cc[3] = {c[0] + di, c[1] + dj, c[2] + dk};
+          if (cc[0] < 0 || cc[1] < 0 || cc[2] < 0) continue;
+          auto it = grid.find(key_of(cc));
+          if (it == grid.end()) continue;
+          for (int32_t j : it->second) {
+            const float* q = pts + 3 * j;
+            const float dx = q[0] - p[0], dy = q[1] - p[1], dz = q[2] - p[2];
+            if (dx * dx + dy * dy + dz * dz > r2) continue;
+            avg[0] += q[0];
+            avg[1] += q[1];
+            avg[2] += q[2];
+            const int s = scans[j];
+            color_sum[s] += colors[j];
+            if (++scan_count[s] > best_count) {
+              best_count = scan_count[s];
+              best_scan = s;
+            }
+            if (max_radius[j] > mr) mr = max_radius[j];
+            ++total;
+            done[j] = 1;
+          }
+        }
+      }
+    }
+    out_pts[3 * m + 0] = (float)(avg[0] / total);
+    out_pts[3 * m + 1] = (float)(avg[1] / total);
+    out_pts[3 * m + 2] = (float)(avg[2] / total);
+    out_colors[m] = (float)(color_sum[best_scan] / scan_count[best_scan]);
+    out_scans[m] = (uint8_t)best_scan;
+    out_max_radius[m] = mr;
+    ++m;
+  }
+  return m;
 }
 
 // Morton-order 3D cell ids for points over a bounded grid (for locality-

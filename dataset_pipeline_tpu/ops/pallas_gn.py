@@ -134,3 +134,147 @@ def icp_hb_cost_pallas(q, t, ps, ns, pt, nt, sid, tid, w,
     )(j1_t, j2_t, r1_t, r2_t, sid_t, tid_t, w_t)
     n = 6 * C
     return G[:n, :n], G[:n, n], G[n, n]
+
+
+# ---------------------------------------------------------------------------
+# Fully fused variant: pose transform + Jacobian construction inside the
+# kernel. Inputs are the RAW local-frame points/normals (one packed (16, M)
+# tensor + cloud ids); poses live in SMEM as scalars. Avoids the XLA prep
+# pass of ``icp_hb_cost_pallas`` (the (8, M) Jacobian materialization and the
+# (M, 4) ``q[sid]`` gather), cutting HBM traffic per correspondence from
+# ~84+84 bytes to a single 72-byte read.
+# ---------------------------------------------------------------------------
+
+
+def _rot_rows(qr, c):
+    """3x3 rotation-matrix entries (as traced scalars) of quaternion row c
+    of SMEM ref ``qr`` (wxyz, assumed normalized)."""
+    w, x, y, z = qr[c, 0], qr[c, 1], qr[c, 2], qr[c, 3]
+    return (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+        (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+        (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
+    )
+
+
+def _gn_fused_kernel(q_ref, t_ref, data_ref, sid_ref, tid_ref, G_ref, *, C: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        G_ref[:] = jnp.zeros_like(G_ref)
+
+    data = data_ref[:]  # (16, CH): ps, ns, pt, nt (3 rows each), w, 3 pad
+    sid = sid_ref[:]  # (1, CH)
+    tid = tid_ref[:]
+    w = data[12:13, :]
+
+    def transform(rows0, ids, translate):
+        """Apply each cloud's pose to the (3, CH) block [rows0:rows0+3],
+        one-hot selected by ids. All operands stay (1, CH)."""
+        vx = data[rows0:rows0 + 1, :]
+        vy = data[rows0 + 1:rows0 + 2, :]
+        vz = data[rows0 + 2:rows0 + 3, :]
+        ox = jnp.zeros_like(vx)
+        oy = jnp.zeros_like(vx)
+        oz = jnp.zeros_like(vx)
+        for c in range(C):
+            R = _rot_rows(q_ref, c)
+            m = (ids == c).astype(jnp.float32)
+            rx = R[0][0] * vx + R[0][1] * vy + R[0][2] * vz
+            ry = R[1][0] * vx + R[1][1] * vy + R[1][2] * vz
+            rz = R[2][0] * vx + R[2][1] * vy + R[2][2] * vz
+            if translate:
+                rx = rx + t_ref[c, 0]
+                ry = ry + t_ref[c, 1]
+                rz = rz + t_ref[c, 2]
+            ox += m * rx
+            oy += m * ry
+            oz += m * rz
+        return ox, oy, oz
+
+    psx, psy, psz = transform(0, sid, True)
+    nsx, nsy, nsz = transform(3, sid, False)
+    ptx, pty, ptz = transform(6, tid, True)
+    ntx, nty, ntz = transform(9, tid, False)
+
+    dx, dy, dz = ptx - psx, pty - psy, ptz - psz
+    r1 = nsx * dx + nsy * dy + nsz * dz
+    r2 = -(ntx * dx + nty * dy + ntz * dz)
+    # j1 = [n_s ; p_t x n_s], j2 = [n_t ; p_s x n_t]
+    j1 = [nsx, nsy, nsz,
+          pty * nsz - ptz * nsy, ptz * nsx - ptx * nsz, ptx * nsy - pty * nsx]
+    j2 = [ntx, nty, ntz,
+          psy * ntz - psz * nty, psz * ntx - psx * ntz, psx * nty - psy * ntx]
+
+    sw = jnp.sqrt(w)
+    S = _pad8(6 * C + 1)
+    rows1 = []
+    rows2 = []
+    for c in range(C):
+        s1 = ((tid == c).astype(jnp.float32) - (sid == c).astype(jnp.float32))
+        rows1 += [j * s1 for j in j1]
+        rows2 += [j * (-s1) for j in j2]
+    rows1.append(r1)
+    rows2.append(r2)
+    pad = S - len(rows1)
+    zero = jnp.zeros_like(r1)
+    A1 = jnp.concatenate(rows1 + [zero] * pad, axis=0) * sw
+    A2 = jnp.concatenate(rows2 + [zero] * pad, axis=0) * sw
+    dims = (((1,), (1,)), ((), ()))
+    G_ref[:] += (
+        jax.lax.dot_general(A1, A1, dims, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(A2, A2, dims, preferred_element_type=jnp.float32)
+    )
+
+
+def pack_icp_inputs(ps, ns, pt, nt, w, chunk: int = 32768):
+    """Pack correspondences into the fused kernel's (16, Mp) layout once;
+    reuse across iterations (the packed tensor is pose-independent)."""
+    M = ps.shape[0]
+    pad = (-M) % chunk
+    Mp = M + pad
+    data = jnp.zeros((16, Mp), jnp.float32)
+    data = data.at[0:3, :M].set(ps.T)
+    data = data.at[3:6, :M].set(ns.T)
+    data = data.at[6:9, :M].set(pt.T)
+    data = data.at[9:12, :M].set(nt.T)
+    data = data.at[12, :M].set(w)
+    return data
+
+
+@partial(jax.jit, static_argnames=("num_clouds", "chunk", "interpret"))
+def icp_hb_cost_pallas_fused(q, t, data, sid, tid,
+                             num_clouds: int, chunk: int = 32768,
+                             interpret: bool = False):
+    """H,b,cost from packed inputs (see ``pack_icp_inputs``) and poses.
+
+    ``sid``/``tid`` are the UNPADDED (M,) cloud ids; padding rows get
+    sid=0/tid=0 so their one-hot difference (and hence their rows) vanish,
+    and w=0 kills their cost contribution.
+    """
+    C = num_clouds
+    Mp = data.shape[1]
+    M = sid.shape[0]
+    pad = Mp - M
+    sid_t = jnp.zeros((1, Mp), jnp.int32).at[0, :M].set(sid.astype(jnp.int32))
+    tid_t = jnp.zeros((1, Mp), jnp.int32).at[0, :M].set(tid.astype(jnp.int32))
+
+    grid = Mp // chunk
+    S = _pad8(6 * C + 1)
+    G = pl.pallas_call(
+        partial(_gn_fused_kernel, C=C),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, S), jnp.float32),
+        interpret=interpret,
+    )(q.astype(jnp.float32), t.astype(jnp.float32), data, sid_t, tid_t)
+    n = 6 * C
+    return G[:n, :n], G[:n, n], G[n, n]

@@ -13,12 +13,11 @@ Counterpart of ``opt/multi_scale_point_cloud.{h,cc}``:
   radius, and close points are merged within
   ``merge_distance_factor * radius`` (``.cc:214-368``).
 
-TPU deviation (documented): the reference's greedy sequential KdTree merge
-(``MergeClosePoints``, ``.cc:44-125``) is replaced by voxel-grid clustering at
-cell size = merge distance — positions average over all member points, the
-color averages over the DOMINANT scan's members only (same spirit: colors
-from different scans are never mixed), executed as one vectorized
-segment-mean instead of a point-by-point loop.
+The merge step (``MergeClosePoints``, ``.cc:44-125``) runs with the
+reference's exact greedy semantics in a native C++ uniform-grid kernel
+(``native/gridder.cc:greedy_merge``, replacing the PCL KdTree radius
+search); a vectorized voxel-grid clustering variant remains available for
+the sharded/device path (``merge_close_points_voxel``).
 """
 
 from __future__ import annotations
@@ -89,7 +88,56 @@ def compute_min_max_point_radius(points, images_T_global: SE3, camera: cm.Camera
 
 def merge_close_points(points, intensities, scan_indices, max_radius, merge_distance,
                        num_scans: int):
-    """Voxel-grid clustering merge (TPU replacement of the greedy merge)."""
+    """Greedy radius merge with the reference's exact semantics
+    (``MergeClosePoints``, ``.cc:44-125``): seeds in input order, positions
+    averaged over ALL points within ``merge_distance`` of the seed (already-
+    merged neighbors included — the reference only skips done seeds), color
+    from the dominant scan only, max_radius = member max. Runs in the native
+    C++ grid kernel; falls back to an exact NumPy loop for small inputs and
+    to voxel clustering for large inputs without a compiler."""
+    from dataset_pipeline_tpu import native
+
+    points = np.ascontiguousarray(points, np.float32)
+    res = native.greedy_merge(points, intensities, scan_indices, max_radius,
+                              merge_distance, num_scans)
+    if res is not None:
+        return res
+    if len(points) <= 20000:
+        return _greedy_merge_numpy(points, intensities, scan_indices,
+                                   max_radius, merge_distance, num_scans)
+    return merge_close_points_voxel(points, intensities, scan_indices,
+                                    max_radius, merge_distance, num_scans)
+
+
+def _greedy_merge_numpy(points, intensities, scan_indices, max_radius,
+                        merge_distance, num_scans):
+    """Exact (O(N^2), chunk-free) reference-semantics merge for fallback."""
+    n = len(points)
+    done = np.zeros(n, bool)
+    r2 = merge_distance * merge_distance
+    scans = np.asarray(scan_indices, np.int64)
+    out_p, out_i, out_s, out_r = [], [], [], []
+    for i in range(n):
+        if done[i]:
+            continue
+        d2 = ((points - points[i]) ** 2).sum(1)
+        nb = np.flatnonzero(d2 <= r2)
+        done[nb] = True
+        cnt = np.bincount(scans[nb], minlength=num_scans)
+        best = int(cnt.argmax())
+        sel = nb[scans[nb] == best]
+        out_p.append(points[nb].mean(0))
+        out_i.append(float(np.asarray(intensities)[sel].mean()))
+        out_s.append(best)
+        out_r.append(float(np.asarray(max_radius)[nb].max()))
+    return (np.asarray(out_p, np.float32), np.asarray(out_i, np.float32),
+            np.asarray(out_s, np.uint8), np.asarray(out_r, np.float32))
+
+
+def merge_close_points_voxel(points, intensities, scan_indices, max_radius,
+                             merge_distance, num_scans: int):
+    """Voxel-grid clustering merge (one vectorized segment-mean; used by the
+    sharded/device path and as the large-input fallback)."""
     cell = max(merge_distance, 1e-9)
     ijk = np.floor(points / cell).astype(np.int64)
     ijk -= ijk.min(0)

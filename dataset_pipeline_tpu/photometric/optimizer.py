@@ -450,7 +450,61 @@ class PhotometricOptimizer:
         self.current_scale = problem.scale_count - 1
         self.lam = 64.0
         self._frozen_vis = None
+        self.obs_cache = None
         self._sync_dependent_poses()
+
+    # -- observations cache ----------------------------------------------------
+
+    def build_observations_cache(self, save_path: str = None,
+                                 load_path: str = None):
+        """Compute (or load) per-image candidate-point views and use them for
+        all subsequent iterations (``opt/observations_cache.cc``; enabled
+        after the first scale by ``exe/image_registrator.cc:230-235``).
+
+        Candidates come from the LOOSEST gate of the schedule
+        (``current_scale = 0``) with doubled occlusion slack and no mask
+        filter, so they are a superset of later observations up to pose
+        drift — the approximation the reference makes too.
+        """
+        from dataset_pipeline_tpu.photometric.obs_cache import ObservationsCache
+
+        if load_path is not None:
+            cache = ObservationsCache.load(load_path, self.p.levels)
+            if cache is not None:
+                self.obs_cache = cache
+                return cache
+        cache = ObservationsCache()
+        occl = self._occlusion_depths()
+        for gi, g in enumerate(self.p.groups):
+            cam = g.camera
+            for b in range(g.num_images):
+                for l, level in enumerate(self.p.levels):
+                    m, _ = _visibility_one_image(
+                        cam, g.poses.q[b], g.poses.t[b], level.points,
+                        jnp.asarray(level.radius, jnp.float32),
+                        occl[gi][b] + self.p.occlusion_depth_threshold,
+                        jnp.asarray(0.0, jnp.float32),
+                        g.level_count, cam.width, cam.height,
+                    )
+                    cache.set_candidates(gi, b, l, level, np.asarray(m))
+        self.obs_cache = cache
+        if save_path is not None:
+            cache.save(save_path, self.p.levels)
+        return cache
+
+    def _view(self, gi: int, b: int, l: int):
+        if self.obs_cache is None:
+            return None
+        return self.obs_cache.view(gi, b, l)
+
+    def _geom(self, gi: int, b: int, l: int):
+        """(points, neighbors, fixed_descriptors) — the compacted view's when
+        the observations cache is active, the full level's otherwise."""
+        view = self._view(gi, b, l)
+        if view is None:
+            level = self.p.levels[l]
+            return level.points, level.neighbors, level.fixed_descriptors
+        return view.points, view.neighbors, view.fixed_descriptors
 
     # -- variable indexing ---------------------------------------------------
 
@@ -533,19 +587,23 @@ class PhotometricOptimizer:
             g_vis = []
             for b in range(g.num_images):
                 per_level = []
-                for level in self.p.levels:
+                for l, level in enumerate(self.p.levels):
+                    view = self._view(gi, b, l)
+                    pts = level.points if view is None else view.points
                     m, s = _visibility_one_image(
-                        cam, g.poses.q[b], g.poses.t[b], level.points,
+                        cam, g.poses.q[b], g.poses.t[b], pts,
                         jnp.asarray(level.radius, jnp.float32), occl[gi][b],
                         jnp.asarray(local_current, jnp.float32),
                         g.level_count, cam.width, cam.height,
                     )
+                    if view is not None:
+                        m = m & view.core
                     mask_pyr = (
                         [mp[b] for mp in g.mask_pyramid]
                         if getattr(g, "mask_pyramid", None) else []
                     )
                     m = _mask_oversaturation_filter(
-                        cam, g.poses.q[b], g.poses.t[b], level.points, s, m,
+                        cam, g.poses.q[b], g.poses.t[b], pts, s, m,
                         self._image_pyr(gi, b), mask_pyr,
                         jnp.asarray(self.p.max_valid_intensity, jnp.float32),
                     )
@@ -566,30 +624,52 @@ class PhotometricOptimizer:
         Returns per level (desc (N,K), contributing_mask (N,): obs count>=2)."""
         out = []
         for l, level in enumerate(self.p.levels):
-            desc_sum = None
-            count = None
+            n, k = level.fixed_descriptors.shape
+            desc_sum = jnp.zeros((n, k), jnp.float32)
+            count = jnp.zeros((n,), jnp.int32)
             for gi, g in enumerate(self.p.groups):
                 for b in range(g.num_images):
                     pyr = self._image_pyr(gi, b)
                     mask, s = vis[gi][b][l]
+                    pts, nbr, _ = self._geom(gi, b, l)
                     d, ok = _image_descriptors_one(
                         g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
-                        level.points, level.neighbors, pyr, s, mask, g.level_count,
+                        pts, nbr, pyr, s, mask, g.level_count,
                     )
-                    desc_sum = d if desc_sum is None else desc_sum + d
-                    count = ok.astype(jnp.int32) if count is None else count + ok
+                    view = self._view(gi, b, l)
+                    if view is None:
+                        desc_sum = desc_sum + d
+                        count = count + ok
+                    else:
+                        desc_sum = desc_sum.at[view.scatter_idx].add(d, mode="drop")
+                        count = count.at[view.scatter_idx].add(
+                            ok.astype(jnp.int32), mode="drop")
             desc = desc_sum / jnp.maximum(count, 1)[:, None]
             out.append((desc, count >= 2))
         return out
 
-    def _residual_sets(self, level_idx):
-        """[(descriptors, extra_mask_or_None, static_weight)] per active type."""
-        sets = []
-        level = self.p.levels[level_idx]
+    def _residual_weights(self):
+        """Static weights of the active residual types, in set order."""
+        weights = []
         if self.fixed_weight > 0:
-            sets.append((level.fixed_descriptors, None, self.fixed_weight))
+            weights.append(self.fixed_weight)
+        if self.variable_weight > 0 and self._var_desc is not None:
+            weights.append(self.variable_weight)
+        return weights
+
+    def _residual_sets(self, gi, b, level_idx):
+        """[(descriptors, extra_mask_or_None, static_weight)] per active type,
+        on this image's geometry view when the observations cache is active."""
+        sets = []
+        view = self._view(gi, b, level_idx)
+        _, _, fixed_desc = self._geom(gi, b, level_idx)
+        if self.fixed_weight > 0:
+            sets.append((fixed_desc, None, self.fixed_weight))
         if self.variable_weight > 0 and self._var_desc is not None:
             desc, mask2 = self._var_desc[level_idx]
+            if view is not None:
+                desc = desc[view.gather_idx]
+                mask2 = mask2[view.gather_idx]
             sets.append((desc, mask2, self.variable_weight))
         return sets
 
@@ -604,11 +684,12 @@ class PhotometricOptimizer:
                 pyr = self._image_pyr(gi, b)
                 for l, level in enumerate(self.p.levels):
                     mask, s = vis[gi][b][l]
-                    for ti, (desc, extra, w) in enumerate(self._residual_sets(l)):
+                    pts, nbr, _ = self._geom(gi, b, l)
+                    for ti, (desc, extra, w) in enumerate(self._residual_sets(gi, b, l)):
                         m = mask if extra is None else (mask & extra)
                         c, n = _cost_one(
                             g.camera, group_params[gi], group_poses[gi].q[b],
-                            group_poses[gi].t[b], level.points, level.neighbors,
+                            group_poses[gi].t[b], pts, nbr,
                             desc, pyr, s, m, g.level_count,
                         )
                         sums[ti] = sums.get(ti, 0.0) + float(c)
@@ -618,13 +699,13 @@ class PhotometricOptimizer:
                                 for sc in range(g.level_count)]
                         c, n = _cost_depth_one(
                             g.camera, group_params[gi], group_poses[gi].q[b],
-                            group_poses[gi].t[b], level.points, dpyr, s, mask,
+                            group_poses[gi].t[b], pts, dpyr, s, mask,
                             g.level_count,
                         )
                         sums["depth"] = sums.get("depth", 0.0) + float(c)
                         counts["depth"] = counts.get("depth", 0) + int(n)
         total = 0.0
-        weights = [w for (_, _, w) in self._residual_sets(0)] if self.p.levels else []
+        weights = self._residual_weights() if self.p.levels else []
         for ti in sums:
             w = self.depth_weight if ti == "depth" else weights[ti]
             total += w * sums[ti] / max(counts[ti], 1)
@@ -636,11 +717,120 @@ class PhotometricOptimizer:
 
     # -- LM step --------------------------------------------------------------
 
+    def _candidate_state(self, x, offsets_int, offsets_rig, offsets_pose):
+        """State after applying the (inverted) update vector ``x``
+        (``CreateDeltaState``, ``intrinsics_and_pose_optimizer.cc``): new
+        per-group intrinsics params, rig extrinsics, and poses (dependent
+        groups derived from the candidate extrinsics + reference poses)."""
+        new_params = []
+        new_extr = []
+        for ri, extr in enumerate(self.p.rig_extrinsics):
+            orr = offsets_rig[ri]
+            ncams = int(extr.q.shape[0])
+            deltas = np.zeros((ncams, 6), np.float32)
+            deltas[1:] = -x[orr:orr + 6 * (ncams - 1)].reshape(ncams - 1, 6)
+            new_extr.append(SE3.exp(jnp.asarray(deltas)).compose(extr))
+        new_poses = []
+        for gi, g in enumerate(self.p.groups):
+            P = int(g.camera.params.shape[0])
+            prm = g.camera.params
+            if self.optimize_intrinsics:
+                oi = offsets_int[gi]
+                prm = prm - jnp.asarray(x[oi:oi + P], jnp.float32)
+            new_params.append(prm)
+            if g.rig_cam_index > 0:
+                new_poses.append(None)  # derived below
+            else:
+                op = offsets_pose[gi]
+                deltas = -x[op:op + 6 * g.num_images].reshape(g.num_images, 6)
+                dT = SE3.exp(jnp.asarray(deltas.astype(np.float32)))
+                new_poses.append(dT.compose(g.poses))
+        for gi, g in enumerate(self.p.groups):
+            if g.rig_cam_index > 0:
+                extr = new_extr[g.rig_id]
+                e = SE3(extr.q[g.rig_cam_index], extr.t[g.rig_cam_index])
+                slots = jnp.asarray(np.asarray(g.ref_slots, np.int32))
+                refp = new_poses[g.ref_group]
+                new_poses[gi] = e.compose(SE3(refp.q[slots], refp.t[slots]))
+        return new_params, new_extr, new_poses
+
+    def _component_deltas(self, offsets_int, offsets_rig, offsets_pose, V):
+        """Per-variable perturbation magnitudes of the numerical validator
+        (``CheckForOptimumNumerically``, ``.cc:295-331``): 0.1 for the first
+        four intrinsics components, 0.01 for distortion, 1e-3 for
+        translations, 5e-4 for rotations."""
+        deltas = np.zeros(V, np.float64)
+        if self.optimize_intrinsics:
+            for gi, g in enumerate(self.p.groups):
+                P = int(g.camera.params.shape[0])
+                oi = offsets_int[gi]
+                deltas[oi:oi + P] = 0.01
+                deltas[oi:oi + min(4, P)] = 0.1
+        for ri, extr in enumerate(self.p.rig_extrinsics):
+            orr = offsets_rig[ri]
+            for c in range(int(extr.q.shape[0]) - 1):
+                deltas[orr + 6 * c: orr + 6 * c + 3] = 1e-3
+                deltas[orr + 6 * c + 3: orr + 6 * c + 6] = 5e-4
+        for gi, g in enumerate(self.p.groups):
+            if offsets_pose[gi] is None:
+                continue
+            op = offsets_pose[gi]
+            for b in range(g.num_images):
+                deltas[op + 6 * b: op + 6 * b + 3] = 1e-3
+                deltas[op + 6 * b + 3: op + 6 * b + 6] = 5e-4
+        return deltas
+
+    def check_for_optimum_numerically(self, go_to_optimum: bool = False,
+                                      immediate_step_threshold: float = 0.05,
+                                      print_errors: bool = True) -> bool:
+        """Perturb every variable by its validator delta in both directions
+        and verify none decreases the cost (``CheckForOptimumNumerically``,
+        ``intrinsics_and_pose_optimizer.cc:261-383``). With ``go_to_optimum``
+        the best (or first large-step) improving state is applied and False
+        returned. Observations stay frozen, as in the reference."""
+        offsets_int, offsets_rig, offsets_pose, V = self._var_layout()
+        if self._frozen_vis is None:
+            self._frozen_vis = self._visibility(self._occlusion_depths())
+        vis = self._frozen_vis
+        initial = self._total_cost([g.camera.params for g in self.p.groups],
+                                   [g.poses for g in self.p.groups], vis)
+        deltas = self._component_deltas(offsets_int, offsets_rig, offsets_pose, V)
+
+        def apply_state(x):
+            prm, extr, poses = self._candidate_state(
+                x, offsets_int, offsets_rig, offsets_pose)
+            for gi, g in enumerate(self.p.groups):
+                g.camera = g.camera.with_params(prm[gi])
+                g.poses = poses[gi]
+            self.p.rig_extrinsics = extr
+
+        best_step, best_x = 0.0, None
+        for comp in range(V):
+            for direction in (-1.0, 1.0):
+                x = np.zeros(V, np.float64)
+                x[comp] = deltas[comp] * direction
+                prm, _, poses = self._candidate_state(
+                    x, offsets_int, offsets_rig, offsets_pose)
+                cost = self._total_cost(prm, poses, vis)
+                if cost < initial:
+                    step = initial - cost
+                    if print_errors:
+                        print(f"not at optimum: component {comp} direction "
+                              f"{direction:+.0f} improves cost by {step:.6g}")
+                    if go_to_optimum and step >= immediate_step_threshold:
+                        apply_state(x)
+                        return False
+                    if step > best_step:
+                        best_step, best_x = step, x
+        if go_to_optimum and best_x is not None:
+            apply_state(best_x)
+        return best_x is None
+
     def _lm_step(self, vis):
         offsets_int, offsets_rig, offsets_pose, V = self._var_layout()
         H = np.zeros((V, V), np.float64)
         bb = np.zeros(V, np.float64)
-        self._lm_cost_sums = [(0.0, 0) for _ in self._residual_sets(0)]
+        self._lm_cost_sums = [(0.0, 0) for _ in self._residual_weights()]
         self._lm_depth_sums = (0.0, 0)
 
         def scatter(Hb, bvec, col_slices):
@@ -660,7 +850,8 @@ class PhotometricOptimizer:
                 pyr = self._image_pyr(gi, b)
                 for l, level in enumerate(self.p.levels):
                     mask, s = vis[gi][b][l]
-                    for ti, (desc, extra, w_t) in enumerate(self._residual_sets(l)):
+                    pts, nbr, _ = self._geom(gi, b, l)
+                    for ti, (desc, extra, w_t) in enumerate(self._residual_sets(gi, b, l)):
                         m = mask if extra is None else (mask & extra)
                         if dependent:
                             ref_g = self.p.groups[g.ref_group]
@@ -670,7 +861,7 @@ class PhotometricOptimizer:
                                 g.camera, g.camera.params,
                                 extr.q[g.rig_cam_index], extr.t[g.rig_cam_index],
                                 ref_g.poses.q[slot], ref_g.poses.t[slot],
-                                level.points, level.neighbors, desc,
+                                pts, nbr, desc,
                                 pyr, s, m, g.level_count, self.optimize_intrinsics,
                             )
                             oe = offsets_rig[g.rig_id] + 6 * (g.rig_cam_index - 1)
@@ -683,7 +874,7 @@ class PhotometricOptimizer:
                         else:
                             Hb, bvec, c, n = _hb_one(
                                 g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
-                                level.points, level.neighbors, desc,
+                                pts, nbr, desc,
                                 pyr, s, m, g.level_count, self.optimize_intrinsics,
                             )
                             op = offsets_pose[gi] + 6 * b
@@ -701,7 +892,7 @@ class PhotometricOptimizer:
                                 for sc in range(g.level_count)]
                         Hb, bvec, c, n = _hb_depth_one(
                             g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
-                            level.points, dpyr, s, mask, g.level_count,
+                            pts, dpyr, s, mask, g.level_count,
                             self.optimize_intrinsics,
                         )
                         op = offsets_pose[gi] + 6 * b
@@ -716,7 +907,7 @@ class PhotometricOptimizer:
                             self._lm_depth_sums[0] + float(c),
                             self._lm_depth_sums[1] + int(n),
                         )
-        weights = [w for (_, _, w) in self._residual_sets(0)]
+        weights = self._residual_weights()
         initial = sum(
             w * s_ / max(n_, 1)
             for w, (s_, n_) in zip(weights, self._lm_cost_sums)
@@ -735,37 +926,8 @@ class PhotometricOptimizer:
             except np.linalg.LinAlgError:
                 self.lam *= 2.0
                 continue
-            new_params = []
-            new_extr = []
-            for ri, extr in enumerate(self.p.rig_extrinsics):
-                orr = offsets_rig[ri]
-                ncams = int(extr.q.shape[0])
-                deltas = np.zeros((ncams, 6), np.float32)
-                deltas[1:] = -x[orr:orr + 6 * (ncams - 1)].reshape(ncams - 1, 6)
-                new_extr.append(SE3.exp(jnp.asarray(deltas)).compose(extr))
-            new_poses = []
-            for gi, g in enumerate(self.p.groups):
-                P = int(g.camera.params.shape[0])
-                prm = g.camera.params
-                if self.optimize_intrinsics:
-                    oi = offsets_int[gi]
-                    prm = prm - jnp.asarray(x[oi:oi + P], jnp.float32)
-                new_params.append(prm)
-                if g.rig_cam_index > 0:
-                    new_poses.append(None)  # derived below
-                else:
-                    op = offsets_pose[gi]
-                    deltas = -x[op:op + 6 * g.num_images].reshape(g.num_images, 6)
-                    dT = SE3.exp(jnp.asarray(deltas.astype(np.float32)))
-                    new_poses.append(dT.compose(g.poses))
-            # derive dependent poses from candidates
-            for gi, g in enumerate(self.p.groups):
-                if g.rig_cam_index > 0:
-                    extr = new_extr[g.rig_id]
-                    e = SE3(extr.q[g.rig_cam_index], extr.t[g.rig_cam_index])
-                    slots = jnp.asarray(np.asarray(g.ref_slots, np.int32))
-                    refp = new_poses[g.ref_group]
-                    new_poses[gi] = e.compose(SE3(refp.q[slots], refp.t[slots]))
+            new_params, new_extr, new_poses = self._candidate_state(
+                x, offsets_int, offsets_rig, offsets_pose)
             cand_cost = self._total_cost(new_params, new_poses, self._frozen_vis)
             if cand_cost < initial or lm_try == 9:  # force-apply last try
                 for gi, g in enumerate(self.p.groups):

@@ -94,6 +94,7 @@ def align_pair(camera: cm.Camera, cloud_points: np.ndarray, cloud_colors: np.nda
                max_iterations_per_scale: int = 50,
                fixed_weight: float = 1.0,
                variable_weight: float = 0.0,
+               use_observations_cache: bool = False,
                print_progress: bool = False) -> Tuple[SE3, cm.Camera]:
     """Run the photometric optimizer on a 2-image problem.
 
@@ -146,7 +147,19 @@ def align_pair(camera: cm.Camera, cloud_points: np.ndarray, cloud_colors: np.nda
     opt = PhotometricOptimizer(problem, optimize_intrinsics=optimize_intrinsics,
                                fixed_weight=fixed_weight,
                                variable_weight=variable_weight)
-    opt.run(max_iterations_per_scale=max_iterations_per_scale,
-            print_progress=print_progress)
+    if use_observations_cache:
+        # mirror ImageRegistrator: enable compaction after the first scale
+        done = {"first": False}
+
+        def _on_scale(o, report):
+            if not done["first"]:
+                o.build_observations_cache()
+            done["first"] = True
+
+        opt.run(max_iterations_per_scale=max_iterations_per_scale,
+                print_progress=print_progress, on_scale_done=_on_scale)
+    else:
+        opt.run(max_iterations_per_scale=max_iterations_per_scale,
+                print_progress=print_progress)
     g = opt.p.groups[0]
     return g.poses, g.camera

@@ -141,6 +141,11 @@ def main(argv=None) -> int:
                    help="cache dir for the multi-resolution point cloud")
     p.add_argument("--fixed_residuals_weight", type=float, default=1.0)
     p.add_argument("--variable_residuals_weight", type=float, default=1.0)
+    p.add_argument("--cache_observations", action="store_true",
+                   help="after the first scale, compact per-image candidate "
+                        "point views and persist them next to the multi-res "
+                        "cloud cache (observations_cache.cc; enabled after "
+                        "the first scale in image_registrator.cc:230-235)")
     args = p.parse_args(argv)
 
     ignore = {int(v) for v in args.camera_ids_to_ignore.split(",") if v}
@@ -311,9 +316,23 @@ def main(argv=None) -> int:
         start_scale = max(0, int(round(-np.log2(args.initial_scaling_factor))))
     end_scale = max(0, int(round(-np.log2(args.target_scaling_factor))))
     opt.current_scale = min(start_scale, global_count - 2)
+    first_scale_done = False
     while True:
         report = opt.run_on_current_scale(args.max_iterations, print_progress=True)
         on_scale_done(opt, report)
+        if args.cache_observations and not first_scale_done:
+            cache_path = (
+                os.path.join(args.multi_res_point_cloud_directory_path,
+                             "observations_cache.npz")
+                if args.multi_res_point_cloud_directory_path else None
+            )
+            opt.build_observations_cache(save_path=cache_path,
+                                         load_path=cache_path)
+            real, padded = opt.obs_cache.stats()
+            total = sum(len(l.points) for l in levels) * problem.num_images
+            print(f"observations cache: {real} candidate rows "
+                  f"({100.0 * real / max(total, 1):.1f}% of dense)")
+        first_scale_done = True
         if opt.current_scale <= end_scale or not opt.next_scale():
             break
     print("finished")

@@ -59,6 +59,47 @@ def test_merge_position_all_scans_color_dominant_only():
     assert abs(mi[fi] - 7.0) < 1e-5
 
 
+def test_greedy_merge_done_neighbor_reinclusion():
+    """Reference quirk (``.cc:88-109``): merged neighbors are marked done as
+    SEEDS but still contribute to later clusters. A chain spaced 0.9d must
+    produce clusters {p0,p1} and {p1,p2} — p1 averaged into both."""
+    d = 1.0
+    pts = np.asarray([[0, 0, 0], [0.9 * d, 0, 0], [1.8 * d, 0, 0]], np.float32)
+    inten = np.asarray([10.0, 20.0, 40.0], np.float32)
+    scans = np.zeros(3, np.uint8)
+    maxr = np.asarray([1.0, 2.0, 3.0], np.float32)
+    pos, mi, dom, mr = merge_close_points(pts, inten, scans, maxr, d, 1)
+    assert len(pos) == 2
+    order = np.argsort(pos[:, 0])
+    assert np.allclose(pos[order[0]], [0.45, 0, 0], atol=1e-6)
+    assert np.allclose(pos[order[1]], [1.35, 0, 0], atol=1e-6)
+    assert np.allclose(sorted(mi.tolist()), [15.0, 30.0])
+    assert np.allclose(sorted(mr.tolist()), [2.0, 3.0])
+
+
+def test_native_greedy_matches_numpy_reference_impl():
+    from dataset_pipeline_tpu import native
+    from dataset_pipeline_tpu.photometric.multiscale import _greedy_merge_numpy
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    n = 2000
+    pts = rng.rand(n, 3).astype(np.float32) * 4
+    inten = rng.rand(n).astype(np.float32) * 255
+    scans = np.zeros(n, np.uint8)  # single scan: no dominant-scan tie ambiguity
+    maxr = rng.rand(n).astype(np.float32)
+    a = native.greedy_merge(pts, inten, scans, maxr, 0.12, 1)
+    b = _greedy_merge_numpy(pts, inten, scans, maxr, 0.12, 1)
+    assert a is not None
+    assert len(a[0]) == len(b[0])
+    assert np.allclose(a[0], b[0], atol=1e-5)
+    assert np.allclose(a[1], b[1], atol=1e-3)
+    assert np.allclose(a[3], b[3], atol=1e-6)
+
+
 def _identity_pose(b=1):
     q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (b, 1))
     t = jnp.zeros((b, 3), jnp.float32)

@@ -179,3 +179,31 @@ def test_hb_assembly_matches_numeric_reconstruction():
     assert np.abs(np.asarray(Hm, np.float64) - Hn).max() < 0.02 * scale
     assert np.abs(np.asarray(bm, np.float64) - bn).max() < 0.02 * max(np.abs(bn).max(), 1.0)
     assert abs(float(cost) - rhon) < 0.01 * max(abs(rhon), 1.0)
+
+
+def test_check_for_optimum_numerically():
+    """Runtime validator (``CheckForOptimumNumerically``, ``.cc:261-383``):
+    at a perturbed state it must flag an improving direction, and with
+    ``go_to_optimum`` applying it must reduce the frozen-visibility cost."""
+    from dataset_pipeline_tpu.photometric.optimizer import PhotometricOptimizer
+    from scenes import synthetic_two_frame_problem
+
+    problem = synthetic_two_frame_problem()
+    opt = PhotometricOptimizer(problem, optimize_intrinsics=False)
+    opt.current_scale = 0
+    # perturb image 1's pose well beyond the validator deltas
+    g = problem.groups[0]
+    d = np.zeros((2, 6), np.float32)
+    d[1] = [0.01, -0.008, 0.006, 0.004, -0.003, 0.005]
+    g.poses = SE3.exp(jnp.asarray(d)).compose(g.poses)
+    opt._frozen_vis = opt._visibility(opt._occlusion_depths())
+
+    vis = opt._frozen_vis
+    params = [gg.camera.params for gg in problem.groups]
+    before = opt._total_cost(params, [gg.poses for gg in problem.groups], vis)
+    at_opt = opt.check_for_optimum_numerically(go_to_optimum=True,
+                                               immediate_step_threshold=np.inf,
+                                               print_errors=False)
+    assert not at_opt
+    after = opt._total_cost(params, [gg.poses for gg in problem.groups], vis)
+    assert after < before
