@@ -65,22 +65,29 @@ def bench_numpy_cpu(m=200_000, iters=3):
 def bench_tpu(m=1_000_000, iters=20):
     """Fused Gauss-Newton ICP iteration: Pallas H,b,cost accumulation +
     on-device damped solve + pose update, sequentially dependent (each
-    iteration consumes the previous poses)."""
+    iteration consumes the previous poses). Uses the fully fused kernel
+    (pose transform + Jacobians in-kernel); the packed correspondence
+    tensor is pose-independent and packed once, as in real ICP inner
+    iterations."""
     import jax
     import jax.numpy as jnp
 
     from dataset_pipeline_tpu.models.lie import SE3
-    from dataset_pipeline_tpu.ops.pallas_gn import icp_hb_cost_pallas
+    from dataset_pipeline_tpu.ops.pallas_gn import (
+        icp_hb_cost_pallas_fused,
+        pack_icp_inputs,
+    )
 
     C = 2
     ps, ns, pt, nt, sid, tid, w = (jnp.asarray(x) for x in _problem(m))
     q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (C, 1))
     t = jnp.zeros((C, 3), jnp.float32)
+    data = pack_icp_inputs(ps, ns, pt, nt, w)
 
     @jax.jit
     def gn_step(q, t):
-        H, b, cost = icp_hb_cost_pallas(q, t, ps, ns, pt, nt, sid, tid, w, C,
-                                        chunk=32768)
+        H, b, cost = icp_hb_cost_pallas_fused(q, t, data, sid, tid, C,
+                                              chunk=16384)
         n_var = 6 * (C - 1)
         Hv = H[6:, 6:] + 0.1 * jnp.eye(n_var, dtype=jnp.float32)
         x = jnp.linalg.solve(Hv, b[6:])

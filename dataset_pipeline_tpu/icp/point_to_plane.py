@@ -124,12 +124,20 @@ def _icp_inner_lm_device(q, t, ps, ns, pt, nt, src_id, tgt_id, w,
 
     use_pallas = jax.default_backend() not in ("cpu",)
 
+    if use_pallas:
+        from dataset_pipeline_tpu.ops.pallas_gn import (
+            icp_hb_cost_pallas_fused,
+            pack_icp_inputs,
+        )
+
+        # pose-independent: packed once per correspondence set, reused by
+        # every inner iteration
+        packed = pack_icp_inputs(ps, ns, pt, nt, w)
+
     def hb(q, t):
         if use_pallas:
-            from dataset_pipeline_tpu.ops.pallas_gn import icp_hb_cost_pallas
-
-            return icp_hb_cost_pallas(q, t, ps, ns, pt, nt, src_id, tgt_id, w,
-                                      C, chunk=32768)
+            return icp_hb_cost_pallas_fused(q, t, packed, src_id, tgt_id, C,
+                                            chunk=16384)
         return _icp_hb_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, C, chunk)
 
     def cost_of(q, t):

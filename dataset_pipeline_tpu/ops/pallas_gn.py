@@ -228,7 +228,7 @@ def _gn_fused_kernel(q_ref, t_ref, data_ref, sid_ref, tid_ref, G_ref, *, C: int)
     )
 
 
-def pack_icp_inputs(ps, ns, pt, nt, w, chunk: int = 32768):
+def pack_icp_inputs(ps, ns, pt, nt, w, chunk: int = 16384):
     """Pack correspondences into the fused kernel's (16, Mp) layout once;
     reuse across iterations (the packed tensor is pose-independent)."""
     M = ps.shape[0]
@@ -245,7 +245,7 @@ def pack_icp_inputs(ps, ns, pt, nt, w, chunk: int = 32768):
 
 @partial(jax.jit, static_argnames=("num_clouds", "chunk", "interpret"))
 def icp_hb_cost_pallas_fused(q, t, data, sid, tid,
-                             num_clouds: int, chunk: int = 32768,
+                             num_clouds: int, chunk: int = 16384,
                              interpret: bool = False):
     """H,b,cost from packed inputs (see ``pack_icp_inputs``) and poses.
 

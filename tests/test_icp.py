@@ -104,3 +104,44 @@ def test_pallas_gn_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(float(c2), float(c1), rtol=1e-5)
+
+
+def test_pallas_fused_kernel_matches_v1():
+    """The fully fused GN kernel (pose transform + Jacobians in-kernel from
+    the packed (16,M) tensor, SMEM poses) must reproduce the v1 kernel."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.ops.pallas_gn import (
+        icp_hb_cost_pallas,
+        icp_hb_cost_pallas_fused,
+        pack_icp_inputs,
+    )
+
+    rng = np.random.RandomState(0)
+    m, C = 5000, 3
+    ps = rng.randn(m, 3).astype(np.float32)
+    ns = rng.randn(m, 3).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    pt = ps + 0.01 * rng.randn(m, 3).astype(np.float32)
+    nt = ns + 0.05 * rng.randn(m, 3).astype(np.float32)
+    nt /= np.linalg.norm(nt, axis=1, keepdims=True)
+    sid = rng.randint(0, C, m).astype(np.int32)
+    tid = ((sid + 1) % C).astype(np.int32)
+    w = rng.rand(m).astype(np.float32)
+    ax = rng.randn(C, 3) * 0.1
+    q = np.stack([
+        np.concatenate([[np.cos(np.linalg.norm(a) / 2)],
+                        np.sin(np.linalg.norm(a) / 2) * a / max(np.linalg.norm(a), 1e-9)])
+        for a in ax
+    ]).astype(np.float32)
+    t = (rng.randn(C, 3) * 0.2).astype(np.float32)
+
+    args = [jnp.asarray(x) for x in (q, t, ps, ns, pt, nt, sid, tid, w)]
+    H1, b1, c1 = icp_hb_cost_pallas(*args, num_clouds=C, chunk=1024, interpret=True)
+    data = pack_icp_inputs(*[jnp.asarray(x) for x in (ps, ns, pt, nt, w)], chunk=1024)
+    H2, b2, c2 = icp_hb_cost_pallas_fused(
+        jnp.asarray(q), jnp.asarray(t), data, jnp.asarray(sid), jnp.asarray(tid),
+        num_clouds=C, chunk=1024, interpret=True)
+    assert np.allclose(H1, H2, rtol=2e-4, atol=1e-2)
+    assert np.allclose(b1, b2, rtol=2e-4, atol=1e-2)
+    assert abs(float(c1) - float(c2)) < 1e-3 * abs(float(c1))
