@@ -84,8 +84,8 @@ def bench_tpu(m=1_000_000, iters=20):
     t = jnp.zeros((C, 3), jnp.float32)
     data = pack_icp_inputs(ps, ns, pt, nt, w)
 
-    @jax.jit
-    def gn_step(q, t):
+    def gn_step(carry, _):
+        q, t = carry
         H, b, cost = icp_hb_cost_pallas_fused(q, t, data, sid, tid, C,
                                               chunk=16384)
         n_var = 6 * (C - 1)
@@ -93,15 +93,20 @@ def bench_tpu(m=1_000_000, iters=20):
         x = jnp.linalg.solve(Hv, b[6:])
         delta = jnp.concatenate([jnp.zeros(6), -x]).reshape(C, 6)
         upd = SE3.exp(delta).compose(SE3(q, t))
-        return upd.q, upd.t, cost
+        return (upd.q, upd.t), cost
 
-    q1, t1, c = gn_step(q, t)
+    @jax.jit
+    def run_iters(q, t):
+        # sequentially dependent chain of full GN iterations, one dispatch
+        # (the real inner LM loop is exactly such a chain)
+        (qf, tf), costs = jax.lax.scan(gn_step, (q, t), None, length=iters)
+        return qf, tf, costs
+
+    q1, t1, c = run_iters(q, t)
     jax.block_until_ready(q1)  # compile
     t0 = time.time()
-    qq, tt = q, t
-    for _ in range(iters):
-        qq, tt, c = gn_step(qq, tt)
-    jax.block_until_ready(qq)
+    q1, t1, c = run_iters(q, t)
+    jax.block_until_ready(q1)
     dt = (time.time() - t0) / iters
     return m / dt
 

@@ -60,6 +60,44 @@ def combined_mask(image_base_path: str, image_name: str,
     return out
 
 
+def save_mask(path: str, mask: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    from PIL import Image
+
+    Image.fromarray(np.asarray(mask, np.uint8)).save(path)
+
+
+def fill_polygon(shape, polygon_px) -> np.ndarray:
+    """Even-odd-rule polygon fill over pixel centers -> bool (H,W)."""
+    h, w = shape
+    poly = np.asarray(polygon_px, np.float64)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    inside = np.zeros((h, w), bool)
+    n = len(poly)
+    j = n - 1
+    for i in range(n):
+        xi, yi = poly[i]
+        xj, yj = poly[j]
+        cross = (yi > ys) != (yj > ys)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (xj - xi) * (ys - yi) / (yj - yi + 1e-30) + xi
+        inside ^= cross & (xs < xint)
+        j = i
+    return inside
+
+
+def draw_mask_polygons(shape, polygons, existing: Optional[np.ndarray] = None
+                       ) -> np.ndarray:
+    """Headless mask drawing (the GUI's ``draw_mask_tool.cc``): rasterize
+    ``(polygon_px, flag)`` pairs (flag = MASK_OBS green / MASK_EVAL_OBS red)
+    into a uint8 mask, later polygons painting over earlier ones."""
+    mask = (np.zeros(shape, np.uint8) if existing is None
+            else np.asarray(existing, np.uint8).copy())
+    for polygon_px, flag in polygons:
+        mask[fill_polygon(shape, polygon_px)] = np.uint8(flag)
+    return mask
+
+
 def build_mask_pyramid(masks: np.ndarray, scale_count: int) -> List[jnp.ndarray]:
     """(B,H,W) uint8 -> per-scale (B,H_s,W_s) via OR (max) pooling
     (``opt/image.cc:133-154``)."""

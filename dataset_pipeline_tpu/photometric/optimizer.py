@@ -208,6 +208,18 @@ def _residual_data(camera, params, pose_q, pose_t, level: PhotoLevel, image_pyr,
 
 
 @partial(jax.jit, static_argnames=("scale_count",))
+def _point_costs_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
+                     level_neighbors, level_desc, image_pyr, obs_scale,
+                     contrib_mask, scale_count: int):
+    """Per-point robust cost rho (N,) + validity — the data behind the
+    GUI's cost display modes (``dataset_inspector/gui_main_window.h:47-61``)."""
+    level = PhotoLevel(level_points, None, None, level_neighbors, level_desc, 0.0)
+    _, _, rho, all_ok = _residual_data(camera, params, pose_q, pose_t, level,
+                                       image_pyr, obs_scale, contrib_mask)
+    return rho, all_ok
+
+
+@partial(jax.jit, static_argnames=("scale_count",))
 def _cost_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
               level_neighbors, level_desc, image_pyr, obs_scale, contrib_mask,
               scale_count: int):
@@ -1013,3 +1025,69 @@ class PhotometricOptimizer:
             if not self.next_scale():
                 break
         return self.p
+
+    # -- diagnostics ---------------------------------------------------------
+
+    def render_cost_image(self, gi: int, b: int, which: str = "fixed",
+                          vis=None) -> np.ndarray:
+        """Per-pixel point-cost visualization: the GUI's cost fixed /
+        variable / combined display modes
+        (``dataset_inspector/gui_main_window.h:47-61``). Every fully observed
+        point's robust residual rho is written at its projected full-res
+        pixel, nearest point winning the z-test; NaN where no point lands.
+        """
+        if which not in ("fixed", "variable", "combined"):
+            raise ValueError(f"unknown cost mode: {which}")
+        if vis is None:
+            vis = self._visibility(self._occlusion_depths())
+        var_desc = None
+        if which in ("variable", "combined"):
+            if self._var_desc is not None:
+                var_desc = self._var_desc
+            else:
+                var_desc = self._compute_variable_descriptors(vis)
+        g = self.p.groups[gi]
+        cam = g.camera
+        pyr = self._image_pyr(gi, b)
+        cost_img = np.full((cam.height, cam.width), np.nan, np.float32)
+        depth_img = np.full((cam.height, cam.width), np.inf, np.float32)
+        pose = SE3(g.poses.q[b], g.poses.t[b])
+        for l in range(len(self.p.levels)):
+            mask, s = vis[gi][b][l]
+            pts, nbr, fixed_desc = self._geom(gi, b, l)
+            rho = jnp.zeros(pts.shape[0], jnp.float32)
+            ok = None
+            if which in ("fixed", "combined"):
+                r_f, ok_f = _point_costs_one(
+                    cam, cam.params, g.poses.q[b], g.poses.t[b], pts, nbr,
+                    fixed_desc, pyr, s, mask, g.level_count)
+                rho = rho + self.fixed_weight * r_f
+                ok = ok_f
+            if which in ("variable", "combined"):
+                desc, mask2 = var_desc[l]
+                view = self._view(gi, b, l)
+                if view is not None:
+                    desc = desc[view.gather_idx]
+                    mask2 = mask2[view.gather_idx]
+                r_v, ok_v = _point_costs_one(
+                    cam, cam.params, g.poses.q[b], g.poses.t[b], pts, nbr,
+                    desc, pyr, s, mask & mask2, g.level_count)
+                w_v = (self.variable_weight
+                       if (which == "combined" and self.variable_weight > 0)
+                       else 1.0)
+                rho = rho + w_v * r_v
+                ok = ok_v if ok is None else (ok | ok_v)
+            p_cam = np.asarray(pose.apply(pts))
+            pix, pv = cm.project(cam, jnp.asarray(p_cam))
+            pix, pv = np.asarray(pix), np.asarray(pv)
+            sel = np.asarray(ok) & pv
+            ix = np.floor(pix[:, 0] + 0.5).astype(np.int64)
+            iy = np.floor(pix[:, 1] + 0.5).astype(np.int64)
+            sel &= (ix >= 0) & (iy >= 0) & (ix < cam.width) & (iy < cam.height)
+            z = p_cam[:, 2]
+            order = np.argsort(-z[sel])  # nearest assigned last -> wins
+            ixs, iys = ix[sel][order], iy[sel][order]
+            closer = z[sel][order] <= depth_img[iys, ixs]
+            cost_img[iys[closer], ixs[closer]] = np.asarray(rho)[sel][order][closer]
+            depth_img[iys[closer], ixs[closer]] = z[sel][order][closer]
+        return cost_img

@@ -4,7 +4,11 @@ import numpy as np
 
 from dataset_pipeline_tpu.editor import (
     apply_up_direction,
+    clip_mesh_to_box,
     crop_mesh_to_box,
+    csg_box,
+    delete_points,
+    move_points,
     read_label_definitions,
     read_labels,
     select_beyond_plane,
@@ -55,6 +59,77 @@ def test_crop_mesh():
     v3, f3 = crop_mesh_to_box(verts, faces, [-1, -1, -1], [2, 2, 2], keep_inside=False)
     assert len(f3) == 1
     np.testing.assert_allclose(v3[f3[0]], verts[3:])
+
+
+def _mesh_area(verts, faces):
+    if len(faces) == 0:
+        return 0.0
+    tri = verts[faces].astype(np.float64)
+    return 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+    ).sum()
+
+
+def test_clip_mesh_exact_partition():
+    """Straddling triangles are clipped exactly: inside + outside areas sum
+    to the original, cut vertices land on the box surface."""
+    # random triangle soup around the box [0,1]^3
+    verts = (RNG.rand(60, 3) * 3.0 - 1.0).astype(np.float64)
+    faces = np.arange(60, dtype=np.int32).reshape(20, 3)
+    bmin, bmax = [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]
+    vi, fi = clip_mesh_to_box(verts, faces, bmin, bmax, keep_inside=True)
+    vo, fo = clip_mesh_to_box(verts, faces, bmin, bmax, keep_inside=False)
+    total = _mesh_area(verts, faces)
+    got = _mesh_area(vi, fi) + _mesh_area(vo, fo)
+    np.testing.assert_allclose(got, total, rtol=1e-5)
+    # every inside-part vertex lies in the (slightly padded) box
+    if len(vi):
+        assert (vi >= -1e-5).all() and (vi <= 1 + 1e-5).all()
+
+
+def test_clip_single_straddling_triangle():
+    # triangle crossing the x=1 plane of box [0,1]^3
+    verts = np.asarray(
+        [[0.5, 0.2, 0.5], [2.0, 0.2, 0.5], [0.5, 0.8, 0.5]], np.float64
+    )
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    vi, fi = clip_mesh_to_box(verts, faces, [0, 0, 0], [1, 1, 1], True)
+    vo, fo = clip_mesh_to_box(verts, faces, [0, 0, 0], [1, 1, 1], False)
+    assert len(fi) >= 1 and len(fo) >= 1
+    assert vi[:, 0].max() <= 1 + 1e-9
+    assert vo[:, 0].min() >= 1 - 1e-9
+    np.testing.assert_allclose(
+        _mesh_area(vi, fi) + _mesh_area(vo, fo), _mesh_area(verts, faces),
+        rtol=1e-9,
+    )
+
+
+def test_csg_union_adds_box_surface():
+    verts = np.asarray(
+        [[-2, -2, 0.5], [2, -2, 0.5], [0, 2, 0.5]], np.float32
+    )
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    v, f = csg_box(verts, faces, [0, 0, 0], [1, 1, 1], "union")
+    # area = clipped plane part + 6 unit box faces
+    plane_in = _mesh_area(*clip_mesh_to_box(verts, faces, [0, 0, 0],
+                                            [1, 1, 1], True))
+    np.testing.assert_allclose(
+        _mesh_area(v, f), _mesh_area(verts, faces) - plane_in + 6.0,
+        rtol=1e-5,
+    )
+
+
+def test_move_delete_points():
+    pts = RNG.randn(10, 3).astype(np.float32)
+    colors = RNG.randint(0, 255, (10, 3)).astype(np.uint8)
+    mask = np.zeros(10, bool)
+    mask[[1, 4]] = True
+    rem, moved = move_points(pts, np.zeros((2, 3), np.float32), mask)
+    assert len(rem) == 8 and len(moved) == 4
+    np.testing.assert_allclose(moved[2:], pts[[1, 4]])
+    kept, kept_colors = delete_points(pts, mask, colors)
+    assert len(kept) == 8
+    np.testing.assert_array_equal(kept_colors, colors[~mask])
 
 
 def test_labels_roundtrip(tmp_path):

@@ -199,3 +199,59 @@ def test_full_pipeline(tmp_path):
     assert valid.sum() > 500
     assert 0.3 < gt_depth[valid].min() < gt_depth[valid].max() < 10.0
     assert os.path.exists(f"{root}/gt/scan_alignment.mlp")
+
+    # --- 9. DatasetInspector: renderings, mask draw + label transfer,
+    #         localize-image (the GUI tools, headless) ---
+    from dataset_pipeline_tpu.photometric.masks import (
+        MASK_OBS, draw_mask_polygons, image_mask_path, load_mask, save_mask)
+    from dataset_pipeline_tpu.tools.dataset_inspector import main as insp_main
+
+    poly = np.asarray([[30, 30], [170, 30], [170, 120], [30, 120]], np.float64)
+    mask = draw_mask_polygons((H, W), [(poly, MASK_OBS)])
+    save_mask(image_mask_path(f"{root}/images", "dslr/v0.png"), mask)
+    assert insp_main(["--scan_alignment_path", f"{root}/scene.mlp",
+                      "--state_path", f"{root}/reg/scale_1_state",
+                      "--image_base_path", f"{root}/images",
+                      "--output_folder_path", f"{root}/inspect",
+                      "--modes", "depth,scan,cost,cost_combined",
+                      "--splat_radius", "0.01",
+                      "--transfer_source", "dslr/v0.png",
+                      "--transfer_target", "dslr/v1.png"]) == 0
+    assert os.path.exists(f"{root}/inspect/v0.depth.png")
+    assert os.path.exists(f"{root}/inspect/v1.scan.png")
+    assert os.path.exists(f"{root}/inspect/v0.cost.png")
+    assert os.path.exists(f"{root}/inspect/v1.cost_combined.png")
+    tmask = load_mask(image_mask_path(f"{root}/images", "dslr/v1.png"))
+    assert tmask is not None and (tmask == MASK_OBS).sum() > 100
+
+    # localize: perturb v0's pose in a copy of the state, then recover it
+    # from 2D-3D correspondences generated with the refined pose
+    import shutil
+
+    from dataset_pipeline_tpu.models import cameras as cmod
+    from dataset_pipeline_tpu.models.lie import quat_to_matrix
+
+    shutil.copytree(f"{root}/reg/scale_1_state", f"{root}/loc_state")
+    model_loc = cio.read_model(f"{root}/loc_state")
+    im0 = model_loc.images[1]
+    R0 = np.asarray(quat_to_matrix(jnp.asarray(im0.qvec, jnp.float32)))
+    cam0 = cmod.make_camera("PINHOLE", W, H, np.asarray([fx, fx, cx, cy]))
+    sel9 = RNG.choice(len(pts), 40, replace=False)
+    p_cam0 = pts[sel9] @ R0.T + im0.tvec
+    pix0, v0ok = cmod.project(cam0, jnp.asarray(p_cam0, jnp.float32))
+    pix0, v0ok = np.asarray(pix0), np.asarray(v0ok)
+    corr = np.concatenate([pix0[v0ok], pts[sel9][v0ok]], -1)
+    assert len(corr) >= 6
+    np.savetxt(f"{root}/corr.txt", corr)
+    true_tvec = im0.tvec.copy()
+    im0.tvec = im0.tvec + np.asarray([0.02, -0.015, 0.01])
+    cio.write_model(f"{root}/loc_state", model_loc)
+    assert insp_main(["--scan_alignment_path", f"{root}/scene.mlp",
+                      "--state_path", f"{root}/loc_state",
+                      "--image_base_path", f"{root}/images",
+                      "--output_folder_path", f"{root}/inspect",
+                      "--modes", "",
+                      "--localize_image", "dslr/v0.png",
+                      "--correspondences", f"{root}/corr.txt"]) == 0
+    relocalized = cio.read_model(f"{root}/loc_state")
+    assert np.linalg.norm(relocalized.images[1].tvec - true_tvec) < 1e-3
