@@ -34,6 +34,7 @@ from dataset_pipeline_tpu.photometric.problem import (
     build_photo_level,
     image_scale_count,
 )
+from dataset_pipeline_tpu.utils.profiling import GLOBAL_TIMER, device_trace
 
 DEFAULT_SPLAT_RADIUS = 0.03
 
@@ -118,6 +119,60 @@ def export_state(path: str, opt: PhotometricOptimizer, state: ModelState,
             f.write(f"{k} {v}\n")
 
 
+def write_debug_colored_cloud(path: str, opt: PhotometricOptimizer,
+                              points: np.ndarray, image_base_path: str,
+                              state: ModelState) -> None:
+    """Colored debug point cloud under the current state
+    (``opt/problem.cc:642-704``): project every occlusion-cloud point into
+    every image (occlusion z-test), bilinear-sample the color photograph,
+    average over observing images; unobserved points stay black."""
+    from PIL import Image as PILImage
+
+    from dataset_pipeline_tpu.io.ply import PointCloud, write_ply
+
+    id_to_name = {im.image_id: im.name for im in state.images}
+    pts_j = jnp.asarray(points, jnp.float32)
+    n = len(points)
+    sums = np.zeros((n, 3), np.float64)
+    counts = np.zeros(n, np.int64)
+    occl = opt._occlusion_depths()
+    thresh = opt.p.occlusion_depth_threshold
+    for gi, g in enumerate(opt.p.groups):
+        cam = g.camera
+        for b, iid in enumerate(g.image_ids):
+            img_path = os.path.join(image_base_path, id_to_name[iid])
+            rgb = np.asarray(PILImage.open(img_path).convert("RGB"), np.float64)
+            pose = SE3(g.poses.q[b], g.poses.t[b])
+            p_cam = np.asarray(pose.apply(pts_j))
+            pix, ok = cm.project(cam, jnp.asarray(p_cam))
+            pix, ok = np.asarray(pix), np.asarray(ok)
+            z = p_cam[:, 2]
+            x, y = pix[:, 0], pix[:, 1]
+            x0 = np.floor(x).astype(np.int64)
+            y0 = np.floor(y).astype(np.int64)
+            vis = (ok & (z > 0) & (x0 >= 0) & (y0 >= 0)
+                   & (x0 + 1 < cam.width) & (y0 + 1 < cam.height))
+            od = np.asarray(occl[gi][b])
+            ix = np.clip(np.floor(x + 0.5).astype(np.int64), 0, cam.width - 1)
+            iy = np.clip(np.floor(y + 0.5).astype(np.int64), 0, cam.height - 1)
+            odv = np.nan_to_num(od[iy, ix], nan=-np.inf)
+            vis &= odv + thresh >= z
+            fx_ = (x - x0)[vis, None]
+            fy_ = (y - y0)[vis, None]
+            xv, yv = x0[vis], y0[vis]
+            c = ((1 - fx_) * (1 - fy_) * rgb[yv, xv]
+                 + fx_ * (1 - fy_) * rgb[yv, xv + 1]
+                 + (1 - fx_) * fy_ * rgb[yv + 1, xv]
+                 + fx_ * fy_ * rgb[yv + 1, xv + 1])
+            sums[vis] += c
+            counts[vis] += 1
+    colors = np.zeros((n, 3), np.uint8)
+    obs = counts > 0
+    colors[obs] = np.clip(sums[obs] / counts[obs, None] + 0.5, 0, 255
+                          ).astype(np.uint8)
+    write_ply(path, PointCloud(np.asarray(points, np.float32), None, colors))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scan_alignment_path", required=True)
@@ -141,6 +196,9 @@ def main(argv=None) -> int:
                    help="cache dir for the multi-resolution point cloud")
     p.add_argument("--fixed_residuals_weight", type=float, default=1.0)
     p.add_argument("--variable_residuals_weight", type=float, default=1.0)
+    p.add_argument("--write_debug_point_clouds", action="store_true",
+                   help="write initial_point_cloud.ply colored from the "
+                        "initial state (image_registrator.cc:200-215)")
     p.add_argument("--cache_observations", action="store_true",
                    help="after the first scale, compact per-image candidate "
                         "point views and persist them next to the multi-res "
@@ -149,17 +207,20 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     ignore = {int(v) for v in args.camera_ids_to_ignore.split(",") if v}
-    scans = load_scan_set(args.scan_alignment_path)
+    with GLOBAL_TIMER.stage("load_scans"):
+        scans = load_scan_set(args.scan_alignment_path)
     state = load_colmap_state(args.state_path, scans.scale_factor, ignore)
 
     # rigs: make poses consistent, derive extrinsics, mark dependent cameras
     rig_infos = []
+    rig_configs = []
     rigs_path = os.path.join(args.state_path, "rigs.json")
     if os.path.exists(rigs_path):
         from dataset_pipeline_tpu.io.colmap import read_rigs_json
         from dataset_pipeline_tpu.photometric.rig import assign_rigs
 
-        rig_infos = assign_rigs(state, read_rigs_json(rigs_path))
+        rig_configs = read_rigs_json(rigs_path)
+        rig_infos = assign_rigs(state, rig_configs)
         print(f"{len(rig_infos)} rig(s) assigned")
 
     groups, global_count = load_groups(state, args.image_base_path)
@@ -268,9 +329,10 @@ def main(argv=None) -> int:
         if levels_raw is not None:
             print("loaded multi-resolution point cloud from cache")
     if levels_raw is None:
-        levels_raw = build_multiscale_cloud(
-            all_pts, all_cols, scan_idx, all_poses, largest, global_count,
-        )
+        with GLOBAL_TIMER.stage("build_multiscale_cloud"):
+            levels_raw = build_multiscale_cloud(
+                all_pts, all_cols, scan_idx, all_poses, largest, global_count,
+            )
         if args.multi_res_point_cloud_directory_path:
             save_multiscale_cache(
                 args.multi_res_point_cloud_directory_path, levels_raw, cache_params)
@@ -298,6 +360,16 @@ def main(argv=None) -> int:
 
     os.makedirs(args.output_folder_path, exist_ok=True)
 
+    if args.write_debug_point_clouds:
+        dbg_path = os.path.join(args.output_folder_path,
+                                "initial_point_cloud.ply")
+        if os.path.exists(dbg_path):
+            print("not writing initial point cloud: already exists")
+        else:
+            write_debug_colored_cloud(dbg_path, opt, np.asarray(occl),
+                                      args.image_base_path, state)
+            print(f"wrote {dbg_path}")
+
     def on_scale_done(o: PhotometricOptimizer, report):
         factor = 2.0 ** (-o.current_scale)
         out = os.path.join(args.output_folder_path, f"scale_{factor:g}_state")
@@ -308,6 +380,12 @@ def main(argv=None) -> int:
             "splat_radius": args.splat_radius,
             "scale_factor": scans.scale_factor,
         })
+        if rig_configs:
+            # io::ExportRigs (colmap_model.cc:485-527): re-emit the rig
+            # camera/prefix config next to every exported state
+            from dataset_pipeline_tpu.io.colmap import write_rigs_json
+
+            write_rigs_json(os.path.join(out, "rigs.json"), rig_configs)
         print(f"scale {o.current_scale} done (cost {report.optimum_cost:.6f}) -> {out}")
 
     # coarse-to-fine schedule with optional resume window
@@ -318,7 +396,8 @@ def main(argv=None) -> int:
     opt.current_scale = min(start_scale, global_count - 2)
     first_scale_done = False
     while True:
-        report = opt.run_on_current_scale(args.max_iterations, print_progress=True)
+        with device_trace(), GLOBAL_TIMER.stage(f"optimize_scale_{opt.current_scale}"):
+            report = opt.run_on_current_scale(args.max_iterations, print_progress=True)
         on_scale_done(opt, report)
         if args.cache_observations and not first_scale_done:
             cache_path = (
@@ -335,6 +414,8 @@ def main(argv=None) -> int:
         first_scale_done = True
         if opt.current_scale <= end_scale or not opt.next_scale():
             break
+    print("stage timing:\n" + GLOBAL_TIMER.summary())
+    GLOBAL_TIMER.dump_json(os.path.join(args.output_folder_path, "timing.json"))
     print("finished")
     return 0
 

@@ -180,7 +180,10 @@ def test_full_pipeline(tmp_path):
                      "--image_base_path", f"{root}/images",
                      "--state_path", f"{root}/state",
                      "--output_folder_path", f"{root}/reg",
-                     "--max_iterations", "15", "--fix_intrinsics"]) == 0
+                     "--max_iterations", "15", "--fix_intrinsics",
+                     "--write_debug_point_clouds"]) == 0
+    dbg = read_ply(f"{root}/reg/initial_point_cloud.ply")
+    assert dbg.colors is not None and (dbg.colors.sum(1) > 0).sum() > 1000
     refined = cio.read_model(f"{root}/reg/scale_1_state")
     for i, (R, t) in enumerate(gt_poses):
         init_err = np.linalg.norm(imgs2[i + 1].tvec - t)
