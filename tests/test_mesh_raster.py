@@ -78,6 +78,29 @@ def test_distorted_camera_vertices():
     np.testing.assert_allclose(interior[covered], 1.5, atol=2e-3)
 
 
+from test_cameras import MODEL_PARAMS
+
+
+@pytest.mark.parametrize("model", sorted(MODEL_PARAMS))
+def test_all_camera_models_vertex_distortion(model):
+    """Per-model renderer validation (reference Test_Renderer runs one case
+    per camera model, ``opt/test/test_renderer.cc:43-148``): vertices on
+    exact pixel rays of the distorted camera at constant depth must render
+    back to that depth."""
+    full = cm.make_camera(model, 640, 480, MODEL_PARAMS[model])
+    cam = cm.scaled_by(full, 0.1)  # 64x48, same distortion field
+    pts, faces, _ = _grid_mesh_on_rays(cam, 4, lambda x, y: 1.5)
+    keep = np.isfinite(pts).all(1)
+    assert keep.mean() > 0.9, "unprojection failed over the image"
+    mesh = build_occlusion_mesh(pts, faces)
+    depth = np.asarray(render_occlusion_mesh_depth(
+        cam, SE3.identity(), mesh, edge_splats=False))
+    interior = depth[8:-8, 8:-8]
+    covered = interior > 0
+    assert covered.mean() > 0.8, model
+    np.testing.assert_allclose(interior[covered], 1.5, atol=5e-3)
+
+
 def test_occlusion_boundary_masking():
     cam = cm.make_camera("PINHOLE", 64, 48, [50.0, 50.0, 31.5, 23.5])
     # background plane covering everything at z=3
