@@ -354,14 +354,16 @@ class PointToPlaneICP:
         lam = 0.1
         n_var = 6 * (C - 1)
         if n_var == 0:
-            return np.asarray(q), np.asarray(t)
+            cost = float(_icp_cost(q, t, ps, ns, pt, nt, sid, tid, w, 65536))
+            return np.asarray(q), np.asarray(t), cost
 
         if self.use_device_lm:
             q, t, _ = _icp_inner_lm_device(
                 q, t, ps, ns, pt, nt, sid, tid, w, C, max_iterations,
                 convergence_threshold,
             )
-            return np.asarray(q), np.asarray(t)
+            cost = float(_icp_cost(q, t, ps, ns, pt, nt, sid, tid, w, 65536))
+            return np.asarray(q), np.asarray(t), cost
 
         for it in range(max_iterations):
             H, b, cost = _icp_hb_cost(q, t, ps, ns, pt, nt, sid, tid, w, C)
@@ -392,7 +394,8 @@ class PointToPlaneICP:
                 break
             if np.linalg.norm(x) < convergence_threshold:
                 break
-        return np.asarray(q), np.asarray(t)
+        cost = float(_icp_cost(q, t, ps, ns, pt, nt, sid, tid, w, chunk=65536))
+        return np.asarray(q), np.asarray(t), cost
 
     # -- public driver --------------------------------------------------------
 
@@ -404,6 +407,7 @@ class PointToPlaneICP:
         total_corr = 0
         converged = False
         it = 0
+        final_cost = 0.0
         for it in range(max_num_iterations):
             globals_ = []
             for (pts, nrm), T in zip(self._clouds, self._poses):
@@ -415,8 +419,9 @@ class PointToPlaneICP:
                 break
             total_corr = len(corr["sid"])
             num_entries = len(self._clouds) + (1 if has_fixed else 0)
-            q, t = self._inner_lm(corr, num_entries, inner_max_iterations,
-                                  inner_convergence_threshold)
+            q, t, final_cost = self._inner_lm(
+                corr, num_entries, inner_max_iterations,
+                inner_convergence_threshold)
 
             first_movable = 1 if has_fixed else 0
             max_move = 0.0
@@ -437,4 +442,5 @@ class PointToPlaneICP:
             if max_move < convergence_threshold_max_movement:
                 converged = True
                 break
-        return ICPResult([p.copy() for p in self._poses], converged, it + 1, 0.0, total_corr)
+        return ICPResult([p.copy() for p in self._poses], converged, it + 1,
+                         final_cost, total_corr)

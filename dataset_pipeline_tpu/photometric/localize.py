@@ -82,8 +82,18 @@ def localize_image(
         zero = jnp.zeros(6, jnp.float32)
         r = residuals(zero, q, t)
         J = jax.jacfwd(residuals)(zero, q, t)
-        H = J.T @ J
-        g = J.T @ r
+        # Gram products at HIGHEST precision: on TPU the default would hit
+        # the MXU in bf16 (~1e-2 error), degrading the PnP refinement.
+        H = jax.lax.dot_general(
+            J, J, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        g = jax.lax.dot_general(
+            J, r[:, None], (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )[:, 0]
         return H, g, jnp.sum(r * r)
 
     @jax.jit

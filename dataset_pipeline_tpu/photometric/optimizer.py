@@ -1057,11 +1057,14 @@ class PhotometricOptimizer:
             pts, nbr, fixed_desc = self._geom(gi, b, l)
             rho = jnp.zeros(pts.shape[0], jnp.float32)
             ok = None
+            # each component is masked individually: a point valid in only
+            # one residual type must not pick up the other's clamped-sample
+            # garbage (interpolate.py computes values from clamped indices)
             if which in ("fixed", "combined"):
                 r_f, ok_f = _point_costs_one(
                     cam, cam.params, g.poses.q[b], g.poses.t[b], pts, nbr,
                     fixed_desc, pyr, s, mask, g.level_count)
-                rho = rho + self.fixed_weight * r_f
+                rho = rho + self.fixed_weight * jnp.where(ok_f, r_f, 0.0)
                 ok = ok_f
             if which in ("variable", "combined"):
                 desc, mask2 = var_desc[l]
@@ -1075,7 +1078,7 @@ class PhotometricOptimizer:
                 w_v = (self.variable_weight
                        if (which == "combined" and self.variable_weight > 0)
                        else 1.0)
-                rho = rho + w_v * r_v
+                rho = rho + w_v * jnp.where(ok_v, r_v, 0.0)
                 ok = ok_v if ok is None else (ok | ok_v)
             p_cam = np.asarray(pose.apply(pts))
             pix, pv = cm.project(cam, jnp.asarray(p_cam))

@@ -52,7 +52,9 @@ from dataset_pipeline_tpu.ops.splat import (
 
 def _colormap(values, vmin, vmax):
     """Simple turbo-ish colormap to uint8 RGB; invalid -> black."""
-    t = np.clip((values - vmin) / max(vmax - vmin, 1e-9), 0, 1)
+    finite = np.isfinite(values)
+    t = np.clip(np.where(finite, values, vmin) - vmin, 0, None)
+    t = np.clip(t / max(vmax - vmin, 1e-9), 0, 1)
     r = np.clip(1.5 - np.abs(2.0 * t - 1.5), 0, 1)
     g = np.clip(1.5 - np.abs(2.0 * t - 1.0), 0, 1)
     b = np.clip(1.5 - np.abs(2.0 * t - 0.5), 0, 1)
