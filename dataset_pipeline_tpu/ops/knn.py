@@ -111,17 +111,13 @@ def _build_grid_jit(points, origin, cell_size, dims):
     return VoxelGrid(points[order], order, ids[order], origin, cell_size, dims)
 
 
-def _neighbor_cell_ids(grid: VoxelGrid, queries):
-    """(Q,27) cell ids around each query; -1 for out-of-grid cells."""
+def _neighbor_cell_ids(grid: VoxelGrid, queries, rings: int = 1):
+    """(Q,(2r+1)^3) cell ids around each query; -1 for out-of-grid cells."""
     nx, ny, nz = grid.dims
     base = jnp.floor((queries - grid.origin) / grid.cell_size).astype(jnp.int32)  # (Q,3)
-    offs = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
-        ),
-        -1,
-    ).reshape(27, 3)
-    cells = base[:, None, :] + offs[None]  # (Q,27,3)
+    r = jnp.arange(-rings, rings + 1)
+    offs = jnp.stack(jnp.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    cells = base[:, None, :] + offs[None]  # (Q,ncells,3)
     inside = jnp.all(
         (cells >= 0) & (cells < jnp.asarray([nx, ny, nz])), axis=-1
     )
@@ -129,45 +125,54 @@ def _neighbor_cell_ids(grid: VoxelGrid, queries):
     return jnp.where(inside, ids, -1)
 
 
-@partial(jax.jit, static_argnames=("max_per_cell", "chunk"))
-def _gather_candidates(grid: VoxelGrid, queries, max_per_cell: int, chunk: int):
-    """For each query: candidate point indices (into sorted order) from the 27
-    surrounding cells, padded to 27*max_per_cell with -1."""
+@partial(jax.jit, static_argnames=("max_per_cell", "chunk", "rings"))
+def _gather_candidates(grid: VoxelGrid, queries, max_per_cell: int, chunk: int,
+                       rings: int = 1):
+    """For each query: candidate point indices (into sorted order) from the
+    (2*rings+1)^3 surrounding cells, padded with -1, plus the number of
+    candidates DROPPED per query by the ``max_per_cell`` cap (no silent
+    caps — callers can detect and retry with a larger cap)."""
+    ncells = (2 * rings + 1) ** 3
 
     def one_chunk(q):
-        ids = _neighbor_cell_ids(grid, q)  # (C,27)
-        start = jnp.searchsorted(grid.cell_ids, ids, side="left")  # (C,27)
+        ids = _neighbor_cell_ids(grid, q, rings)  # (C,ncells)
+        start = jnp.searchsorted(grid.cell_ids, ids, side="left")
         end = jnp.searchsorted(grid.cell_ids, ids, side="right")
         count = jnp.where(ids >= 0, end - start, 0)
+        dropped = jnp.sum(jnp.maximum(count - max_per_cell, 0), -1)  # (C,)
         slots = jnp.arange(max_per_cell)  # (M,)
-        cand = start[..., None] + slots[None, None, :]  # (C,27,M)
+        cand = start[..., None] + slots[None, None, :]  # (C,ncells,M)
         valid = slots[None, None, :] < jnp.minimum(count, max_per_cell)[..., None]
         cand = jnp.where(valid, cand, -1)
-        return cand.reshape(q.shape[0], -1)  # (C, 27*M)
+        return cand.reshape(q.shape[0], -1), dropped
 
     Q = queries.shape[0]
     pad = (-Q) % chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
-    out = jax.lax.map(one_chunk, qp.reshape(-1, chunk, 3))
-    return out.reshape(-1, 27 * max_per_cell)[:Q]
+    out, dropped = jax.lax.map(one_chunk, qp.reshape(-1, chunk, 3))
+    return (out.reshape(-1, ncells * max_per_cell)[:Q],
+            dropped.reshape(-1)[:Q])
 
 
-@partial(jax.jit, static_argnames=("k", "max_per_cell", "chunk"))
-def knn_grid(grid: VoxelGrid, queries, k: int, max_per_cell: int = 32, chunk: int = 2048):
-    """k nearest neighbors within the 27-cell neighborhood (i.e. within
-    ``cell_size`` of the query, possibly more along diagonals).
+@partial(jax.jit, static_argnames=("k", "max_per_cell", "chunk", "rings"))
+def knn_grid(grid: VoxelGrid, queries, k: int, max_per_cell: int = 32,
+             chunk: int = 2048, rings: int = 1):
+    """k nearest neighbors within the (2*rings+1)^3-cell neighborhood (i.e.
+    within ``rings * cell_size`` of the query guaranteed, more along
+    diagonals).
 
-    Returns (d2 (Q,k), idx (Q,k)) with ORIGINAL point indices; empty slots
-    are (inf, -1). Neighbors beyond the cell neighborhood are not found —
-    choose ``cell_size`` >= the search radius you care about.
+    Returns (d2 (Q,k), idx (Q,k), dropped (Q,)) with ORIGINAL point indices;
+    empty slots are (inf, -1). ``dropped[q] > 0`` means the ``max_per_cell``
+    cap truncated some cells for this query and the result may be inexact —
+    use ``knn_adaptive`` for a checked, auto-sized search.
     """
     queries = jnp.asarray(queries, jnp.float32)
 
     def one_chunk(args):
-        q, cand = args  # (C,3), (C,27M)
+        q, cand = args  # (C,3), (C,ncells*M)
         valid = cand >= 0
         safe = jnp.maximum(cand, 0)
-        pts = grid.points[safe]  # (C,27M,3)
+        pts = grid.points[safe]  # (C,ncells*M,3)
         diff = pts - q[:, None, :]
         d2 = jnp.sum(diff * diff, -1)
         d2 = jnp.where(valid, d2, jnp.inf)
@@ -178,7 +183,7 @@ def knn_grid(grid: VoxelGrid, queries, k: int, max_per_cell: int = 32, chunk: in
         return -neg_d, orig
 
     Q = queries.shape[0]
-    cand = _gather_candidates(grid, queries, max_per_cell, chunk)
+    cand, dropped = _gather_candidates(grid, queries, max_per_cell, chunk, rings)
     pad = (-Q) % chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
     cp = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
@@ -187,7 +192,65 @@ def knn_grid(grid: VoxelGrid, queries, k: int, max_per_cell: int = 32, chunk: in
         (qp.reshape(-1, chunk, 3), cp.reshape(-1, chunk, cand.shape[1])),
     )
     k_ = d2.shape[-1]
-    return d2.reshape(-1, k_)[:Q], idx.reshape(-1, k_)[:Q]
+    return d2.reshape(-1, k_)[:Q], idx.reshape(-1, k_)[:Q], dropped
+
+
+def knn_adaptive(points, queries, k: int, chunk: int = 1024,
+                 target_per_cell: int = 48, verbose: bool = False):
+    """EXACT kNN at production scale: sized voxel-grid pass + brute-force
+    repair of the queries the grid could not certify.
+
+    The grid is sized from a sampled density estimate; after the pass, a
+    query's result is certified exact iff (1) none of its cells hit the
+    ``max_per_cell`` cap and (2) its k-th neighbor distance is within the
+    guaranteed ring reach ``rings * cell_size``. Uncertified queries (dense
+    hotspots, sparse fringes — a minority on real scans) are recomputed with
+    the tiled brute-force kernel, so the result is always exact; the repair
+    fraction is logged, never silently truncated (reference cleaner uses
+    k=270, ``README.md:372``).
+
+    Returns (d2 (Q,k), idx (Q,k)) sorted ascending.
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    queries = jnp.asarray(queries, jnp.float32)
+    n = pts.shape[0]
+    Q = queries.shape[0]
+    k = min(k, n)
+    if n <= max(4 * k, 20_000):
+        return knn_bruteforce(queries, pts, k)
+
+    rng = np.random.RandomState(0)
+    sample = pts[rng.choice(n, size=min(n, 4096), replace=False)]
+    d2s, _ = knn_bruteforce(sample, pts, 2)
+    typical = float(np.median(np.sqrt(np.asarray(d2s)[:, 1])))
+    typical = max(typical, 1e-9)
+    # cell sized for ~target_per_cell points per cell at typical density;
+    # rings sized so the gathered block holds ~3k points at that density
+    cell = typical * target_per_cell ** (1.0 / 3.0)
+    # ring reach must cover the expected k-th neighbor distance
+    # ~ typical * k^(1/3) with headroom; cap the candidate tensor size
+    rings = 1
+    want_reach = 1.5 * typical * k ** (1.0 / 3.0)
+    while (rings * cell < want_reach
+           and (2 * rings + 3) ** 3 * target_per_cell <= 500_000):
+        rings += 1
+
+    grid = build_grid(pts, cell)
+    d2, idx, dropped = knn_grid(grid, queries, k, target_per_cell, chunk, rings)
+    d2 = np.array(d2)
+    idx = np.array(idx)
+    kth = np.sqrt(np.maximum(d2[:, -1], 0.0))
+    reach = rings * float(cell)
+    bad = (np.asarray(dropped) > 0) | (idx[:, -1] < 0) | ~(kth <= reach)
+    n_bad = int(bad.sum())
+    if n_bad:
+        if verbose or n_bad > Q // 10:
+            print(f"knn_adaptive: brute-force repair of {n_bad}/{Q} queries "
+                  f"(cell={cell:.4g}, rings={rings})")
+        d2b, idxb = knn_bruteforce(queries[np.flatnonzero(bad)], pts, k)
+        d2[bad] = np.asarray(d2b)
+        idx[bad] = np.asarray(idxb)
+    return jnp.asarray(d2), jnp.asarray(idx)
 
 
 @partial(jax.jit, static_argnames=("max_results", "max_per_cell", "chunk"))
@@ -197,7 +260,7 @@ def radius_search(grid: VoxelGrid, queries, radius, max_results: int,
 
     Requires ``radius <= cell_size``. Returns (d2, idx) padded with (inf,-1).
     """
-    d2, idx = knn_grid(grid, queries, max_results, max_per_cell, chunk)
+    d2, idx, _ = knn_grid(grid, queries, max_results, max_per_cell, chunk)
     r2 = jnp.asarray(radius, jnp.float32) ** 2
     keep = d2 <= r2
     return jnp.where(keep, d2, jnp.inf), jnp.where(keep, idx, -1)
@@ -205,5 +268,5 @@ def radius_search(grid: VoxelGrid, queries, radius, max_results: int,
 
 def nearest_neighbor(grid: VoxelGrid, queries, max_per_cell: int = 32, chunk: int = 2048):
     """Single nearest neighbor within the cell neighborhood: (d2 (Q,), idx (Q,))."""
-    d2, idx = knn_grid(grid, queries, 1, max_per_cell, chunk)
+    d2, idx, _ = knn_grid(grid, queries, 1, max_per_cell, chunk)
     return d2[:, 0], idx[:, 0]

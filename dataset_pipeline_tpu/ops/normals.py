@@ -60,6 +60,6 @@ def estimate_normals(points, viewpoints, k: int = 8, grid: VoxelGrid | None = No
     vp = jnp.broadcast_to(jnp.asarray(viewpoints, jnp.float32), points.shape)
     if grid is None:
         return estimate_normals_bruteforce(points, vp, k)
-    d2, idx = knn_grid(grid, points, k + 1, max_per_cell)
+    d2, idx, _ = knn_grid(grid, points, k + 1, max_per_cell)
     idx = idx[:, 1:]
     return _normals_from_neighbors(points, points, idx, vp)

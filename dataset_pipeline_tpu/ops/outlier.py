@@ -43,10 +43,20 @@ def local_statistical_outliers_bruteforce(points, k: int, factor: float):
     return mean_dist <= local_mean * factor
 
 
-@partial(jax.jit, static_argnames=("k", "max_per_cell"))
+@partial(jax.jit, static_argnames=("k", "max_per_cell", "rings"))
 def local_statistical_outliers_grid(grid: VoxelGrid, points, k: int, factor: float,
-                                    max_per_cell: int = 32):
-    d2, idx = knn_grid(grid, points, k + 1, max_per_cell)
+                                    max_per_cell: int = 32, rings: int = 1):
+    d2, idx, _ = knn_grid(grid, points, k + 1, max_per_cell, rings=rings)
+    mean_dist, local_mean = _filter_from_knn(d2, idx)
+    return mean_dist <= local_mean * factor
+
+
+def _outliers_from_adaptive_knn(points, k: int, factor: float):
+    """Inlier mask via the checked adaptive grid search (production scale,
+    supports large k like the reference cleaner's ``--filter 270,1.15``)."""
+    from dataset_pipeline_tpu.ops.knn import knn_adaptive
+
+    d2, idx = knn_adaptive(points, points, k + 1)
     mean_dist, local_mean = _filter_from_knn(d2, idx)
     return mean_dist <= local_mean * factor
 
@@ -66,14 +76,9 @@ def remove_outliers(points, filters, use_grid_above: int = 200_000):
     for k, factor in filters:
         cur = pts[alive]
         if cur.shape[0] > use_grid_above:
-            # cell size from a sample of NN distances: stay cheap but capture
-            # enough neighbors per cell region for k-NN to be found
-            sample = cur[:: max(1, cur.shape[0] // 20000)]
-            d2, _ = knn_bruteforce(sample, sample, 2)
-            typical = float(jnp.sqrt(jnp.maximum(jnp.median(d2[:, 1]), 1e-12)))
-            cell = max(typical * (k ** (1.0 / 3.0)) * 2.0, 1e-6)
-            grid = build_grid(cur, cell)
-            mask = local_statistical_outliers_grid(grid, cur, k, factor)
+            # checked adaptive grid search: auto-sizes cell/rings/cap for the
+            # requested k and retries on drop/coverage violations
+            mask = _outliers_from_adaptive_knn(cur, k, factor)
         else:
             mask = local_statistical_outliers_bruteforce(cur, k, factor)
         alive = alive[np.asarray(mask)]

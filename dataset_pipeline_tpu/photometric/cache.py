@@ -39,6 +39,58 @@ def save_multiscale_cache(cache_dir: str, levels: List[PointLevel], params: dict
         )
 
 
+def save_photo_levels_cache(cache_dir: str, photo_levels, params: dict) -> None:
+    """Persist the processed point levels INCLUDING the seeded K-neighbor
+    indices and fixed descriptors (the reference caches this neighbor blob
+    alongside the per-scale PLYs, ``opt/problem.cc:364-411``) so restarts
+    skip both the kNN search and the gradient filter."""
+    import numpy as np_
+
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(os.path.join(cache_dir, "photo_metadata.json"), "w") as f:
+        json.dump({**_meta(params), "num_levels": len(photo_levels)}, f)
+    for i, pl in enumerate(photo_levels):
+        np.savez(
+            os.path.join(cache_dir, f"photo_level_{i}.npz"),
+            points=np_.asarray(pl.points),
+            intensities=np_.asarray(pl.intensities),
+            scan_indices=np_.asarray(pl.scan_indices),
+            neighbors=np_.asarray(pl.neighbors),
+            fixed_descriptors=np_.asarray(pl.fixed_descriptors),
+            radius=np.float64(pl.radius),
+        )
+
+
+def load_photo_levels_cache(cache_dir: str, params: dict):
+    """Load cached PhotoLevels (device-uploaded); None on miss/mismatch."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.photometric.problem import PhotoLevel
+
+    meta_path = os.path.join(cache_dir, "photo_metadata.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    expected = _meta(params)
+    mismatched = [k for k in expected if meta.get(k) != expected[k]]
+    if mismatched:
+        print(f"photo-level cache invalidated (changed: {', '.join(mismatched)}); regenerating")
+        return None
+    levels = []
+    for i in range(int(meta["num_levels"])):
+        path = os.path.join(cache_dir, f"photo_level_{i}.npz")
+        if not os.path.exists(path):
+            return None
+        z = np.load(path)
+        levels.append(PhotoLevel(
+            jnp.asarray(z["points"]), jnp.asarray(z["intensities"]),
+            jnp.asarray(z["scan_indices"]), jnp.asarray(z["neighbors"]),
+            jnp.asarray(z["fixed_descriptors"]), float(z["radius"]),
+        ))
+    return levels
+
+
 def load_multiscale_cache(cache_dir: str, params: dict) -> Optional[List[PointLevel]]:
     meta_path = os.path.join(cache_dir, "metadata.json")
     if not os.path.exists(meta_path):

@@ -76,11 +76,10 @@ def _project_full(camera: cm.Camera, params, p_cam):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("scale_count", "width", "height"))
-def _visibility_one_image(camera: cm.Camera, pose_q, pose_t, points, radius,
-                          occl_depth, current_scale, scale_count: int,
-                          width: int, height: int, mask_pyr_coarse=None,
-                          image_pyr_stack=None, max_valid_intensity=252.0):
+def _visibility_core(camera: cm.Camera, pose_q, pose_t, points, radius,
+                     occl_depth, current_scale, scale_count: int,
+                     width: int, height: int, depth_slack=0.01,
+                     min_depth=0.05):
     """Observation mask + frozen observation scale for every point.
 
     Returns (visible (N,), obs_scale (N,)). ``occl_depth`` is the (H,W)
@@ -95,7 +94,7 @@ def _visibility_one_image(camera: cm.Camera, pose_q, pose_t, points, radius,
     ix = jnp.clip(jnp.round(pix[:, 0]).astype(jnp.int32), 0, width - 1)
     iy = jnp.clip(jnp.round(pix[:, 1]).astype(jnp.int32), 0, height - 1)
     occ = occl_depth[iy, ix]
-    valid = valid & (z <= occ + 0.01) & (z > 0.05)
+    valid = valid & (z <= occ + depth_slack) & (z > min_depth)
 
     # footprint scale
     eps = 1e-3 * jnp.maximum(z, 1e-6)
@@ -123,13 +122,22 @@ def _visibility_one_image(camera: cm.Camera, pose_q, pose_t, points, radius,
     return valid, obs_scale
 
 
-@jax.jit
-def _mask_oversaturation_filter(camera: cm.Camera, pose_q, pose_t, points,
-                                obs_scale, valid, image_pyr, mask_pyr,
-                                max_valid_intensity):
+@partial(jax.jit, static_argnames=("scale_count", "width", "height"))
+def _visibility_one_image(camera: cm.Camera, pose_q, pose_t, points, radius,
+                          occl_depth, current_scale, scale_count: int,
+                          width: int, height: int, mask_pyr_coarse=None,
+                          image_pyr_stack=None, max_valid_intensity=252.0):
+    """Single-image wrapper over ``_visibility_core`` (kept for tests)."""
+    return _visibility_core(camera, pose_q, pose_t, points, radius, occl_depth,
+                            current_scale, scale_count, width, height)
+
+
+def _mask_filter_core(camera: cm.Camera, pose_q, pose_t, points,
+                      obs_scale, valid, image_pyr, mask_pyr,
+                      max_valid_intensity):
     """Reject observations whose coarse-interp-scale pixel is masked or
     oversaturated (``visibility_estimator.cc:482-509``). ``mask_pyr`` may be
-    an empty list (no masks)."""
+    an empty tuple (no masks)."""
     pose = SE3(pose_q, pose_t)
     p_cam = pose.apply(points)
     pix, _ = cm.project(camera, p_cam)
@@ -245,69 +253,136 @@ def _image_descriptors_one(camera: cm.Camera, params, pose_q, pose_t, level_poin
     return jnp.where(all_ok[:, None], desc, 0.0), all_ok
 
 
-@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
-def _hb_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
-            level_neighbors, level_desc, image_pyr, obs_scale, contrib_mask,
-            scale_count: int, optimize_intrinsics: bool):
-    """H,b contribution of one image on one level.
+def _footprint_scale(camera, params, pose, points, radius):
+    """Continuous observation scale log2(2*radius_px) as a DIFFERENTIABLE
+    function of intrinsics and pose — same finite-footprint formula as
+    ``_visibility_one_image`` so values coincide at the linearization point.
+    This is the d(scale)/d(state) chain of the reference's image-scale
+    Jacobian row (``intrinsics_and_pose_optimizer.cc:1026-1070``)."""
+    c = camera.with_params(params)
+    p_cam = pose.apply(points)
+    pix, _ = cm.project(c, p_cam)
+    z = p_cam[:, 2]
+    eps = 1e-3 * jnp.maximum(z, 1e-6)
+    p2 = p_cam + jnp.stack([eps, jnp.zeros_like(eps), jnp.zeros_like(eps)], -1)
+    pix2, _ = cm.project(c, p2)
+    px_per_m = jnp.linalg.norm(pix2 - pix, axis=-1) / eps
+    return jnp.log2(jnp.maximum(2.0 * radius * px_per_m, 1e-12))
 
-    Variable layout of the returned block: [P intrinsics | 6 pose].
-    Jacobians by forward-mode autodiff wrt (pose tangent, intrinsics).
-    """
-    level = PhotoLevel(level_points, None, None, level_neighbors, level_desc, 0.0)
-    P = params.shape[0]
 
-    def residuals(eps, prm):
-        pose = SE3.exp(eps).compose(SE3(pose_q, pose_t))
-        inten, _ = _point_intensities(camera, prm, pose.q, pose.t,
-                                      level_points, image_pyr, obs_scale)
-        r = (inten[level_neighbors] - inten[:, None]) - level_desc
-        return r  # (N,K)
-
-    eps0 = jnp.zeros(6, jnp.float32)
-    r0 = residuals(eps0, params)
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(r0 * r0, -1), 1e-20))
-    rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
-    w = huber_weight(norm, DEFAULT_COLOR_HUBER)
-
-    J_pose, J_int = jax.jacfwd(residuals, argnums=(0, 1))(eps0, params)
-    # J_*: (N,K,6) and (N,K,P)
-
-    inten, ok = _point_intensities(camera, params, pose_q, pose_t, level_points,
-                                   image_pyr, obs_scale)
-    all_ok = ok & jnp.all(ok[level_neighbors], -1) & contrib_mask
-    wfull = jnp.where(all_ok, w, 0.0)
-
-    if optimize_intrinsics:
-        rows = jnp.concatenate([J_int, J_pose], -1)  # (N,K,P+6)
+def _intensity_ok(camera, prm, pose, points, image_pyr, obs_scale, radius,
+                  dynamic_scale: bool):
+    """(intensity, valid) per point. With ``dynamic_scale`` the sampling
+    scale is anchored at the frozen ``obs_scale`` VALUE but carries the
+    footprint-scale derivative, adding the third chain-rule row
+    d(intensity)/d(scale) * d(scale)/d(state) to any Jacobian taken through
+    this function (the reference's ``.cc:1026-1070`` term)."""
+    if dynamic_scale:
+        fp = _footprint_scale(camera, prm, pose, points, radius)
+        s = jax.lax.stop_gradient(obs_scale) + fp - jax.lax.stop_gradient(fp)
     else:
-        rows = J_pose
-    V = rows.shape[-1]
-    sw = jnp.sqrt(wfull)[:, None]
-    rows_w = (rows * sw[..., None]).reshape(-1, V)
-    r_w = (r0 * sw).reshape(-1)
-    H = jax.lax.dot_general(
-        rows_w, rows_w, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    b = jnp.sum(rows_w * r_w[:, None], 0)
+        s = obs_scale
+    p_cam = pose.apply(points)
+    pix, valid = _project_full(camera, prm, p_cam)
+    val, ok = _sample_pyramid(image_pyr, pix, s)
+    return val, valid & ok
+
+
+def _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask):
+    """Assemble H,b,cost,count from the PER-POINT intensity Jacobian J (N,V).
+
+    The descriptor-residual rows are r_{nk} = I[nbr_nk] - I[n] - d_{nk} with
+    Jacobian J[nbr_nk] - J[n] (``AccumulateOnHAndB``, ``.cc:1219-1296``).
+    Instead of materializing the (N,K,V) row tensor, expand the Gram sum:
+
+      H = J^T diag(c + K*w) J - (S^T A + A^T S)
+      b = J^T (gamma - w .* sum_k r_k)
+
+    with S_n = sum_k J[nbr_nk] (K static gathers), A = w .* J,
+    c_m = sum_{(n,k): nbr=m} w_n and gamma_m = sum_{(n,k): nbr=m} w_n r_{nk}
+    (scatter-adds). Memory is O(N*V) and the three (V,N)x(N,V) products run
+    on the MXU at HIGHEST precision.
+    """
+    all_ok = ok & jnp.all(ok[neighbors], -1) & contrib_mask
+    r = (inten[neighbors] - inten[:, None]) - desc
+    r = jnp.where(all_ok[:, None], r, 0.0)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
+    rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
+    w = jnp.where(all_ok, huber_weight(norm, DEFAULT_COLOR_HUBER), 0.0)
+    # zero invalid points' J rows: they carry no weight anywhere, but may
+    # hold non-finite values that would poison the matmuls
+    J = jnp.where(ok[:, None], J, 0.0)
+    K = neighbors.shape[1]
+    n = J.shape[0]
+    S = jnp.zeros_like(J)
+    c = jnp.zeros((n,), J.dtype)
+    gamma = jnp.zeros((n,), J.dtype)
+    for k in range(K):
+        nk = neighbors[:, k]
+        S = S + J[nk]
+        c = c.at[nk].add(w)
+        gamma = gamma.at[nk].add(w * r[:, k])
+
+    def gram(x, y):
+        return jax.lax.dot_general(
+            x, y, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    A = w[:, None] * J
+    H = gram((c + K * w)[:, None] * J, J)
+    M = gram(S, A)
+    H = H - M - M.T
+    b = gram(J, (gamma - w * jnp.sum(r, -1))[:, None])[:, 0]
     cost = jnp.sum(jnp.where(all_ok, rho, 0.0))
     count = jnp.sum(all_ok)
     return H, b, cost, count
 
 
-@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
-def _hb_depth_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
-                  depth_pyr, obs_scale, contrib_mask,
-                  scale_count: int, optimize_intrinsics: bool):
+def _hb_core(camera, params, pose_q, pose_t, points, neighbors, desc,
+             image_pyr, obs_scale, contrib_mask, radius,
+             optimize_intrinsics: bool, dynamic_scale: bool):
+    """H,b contribution of one image on one level.
+
+    Variable layout of the returned block: [P intrinsics | 6 pose].
+    Jacobians by forward-mode autodiff wrt (pose tangent, intrinsics),
+    including the image-scale chain row when ``dynamic_scale``.
+    """
+
+    def inten_of(eps, prm):
+        pose = SE3.exp(eps).compose(SE3(pose_q, pose_t))
+        return _intensity_ok(camera, prm, pose, points, image_pyr, obs_scale,
+                             radius, dynamic_scale)
+
+    eps0 = jnp.zeros(6, jnp.float32)
+    inten, ok = inten_of(eps0, params)
+    J_pose, J_int = jax.jacfwd(lambda e, p: inten_of(e, p)[0],
+                               argnums=(0, 1))(eps0, params)
+    J = jnp.concatenate([J_int, J_pose], -1) if optimize_intrinsics else J_pose
+    return _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask)
+
+
+@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics",
+                                   "dynamic_scale"))
+def _hb_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
+            level_neighbors, level_desc, image_pyr, obs_scale, contrib_mask,
+            scale_count: int, optimize_intrinsics: bool,
+            radius=0.0, dynamic_scale: bool = False):
+    """Single-image wrapper over ``_hb_core`` (kept for tests / tools)."""
+    return _hb_core(camera, params, pose_q, pose_t, level_points,
+                    level_neighbors, level_desc, image_pyr, obs_scale,
+                    contrib_mask, radius, optimize_intrinsics, dynamic_scale)
+
+
+def _hb_depth_core(camera, params, pose_q, pose_t, level_points,
+                   depth_pyr, obs_scale, contrib_mask,
+                   optimize_intrinsics: bool):
     """H,b for inverse-depth residuals r = 1/D(pix) - 1/z against a FIXED
     per-image depth-map pyramid, Tukey-weighted
     (``intrinsics_and_pose_optimizer.cc:1149-1214``; the reference leaves the
     rig-dependent case unimplemented — so do we)."""
     from dataset_pipeline_tpu.ops.robust import DEFAULT_DEPTH_TUKEY, tukey_rho, tukey_weight
-
-    P = params.shape[0]
 
     def residuals(eps, prm):
         pose = SE3.exp(eps).compose(SE3(pose_q, pose_t))
@@ -335,10 +410,12 @@ def _hb_depth_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
 
     J_pose, J_int = jax.jacfwd(residuals, argnums=(0, 1))(eps0, params)
     rows = jnp.concatenate([J_int, J_pose], -1) if optimize_intrinsics else J_pose
+    # invalid points carry zero weight but may hold non-finite J entries
+    rows = jnp.where(ok[:, None], rows, 0.0)
     V = rows.shape[-1]
     sw = jnp.sqrt(wfull)
     rows_w = rows * sw[:, None]
-    r_w = r0 * sw
+    r_w = jnp.where(ok, r0, 0.0) * sw
     H = jax.lax.dot_general(
         rows_w, rows_w, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -348,6 +425,15 @@ def _hb_depth_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
     cost = jnp.sum(jnp.where(ok, rho, 0.0))
     count = jnp.sum(ok)
     return H, b, cost, count
+
+
+@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
+def _hb_depth_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
+                  depth_pyr, obs_scale, contrib_mask,
+                  scale_count: int, optimize_intrinsics: bool):
+    return _hb_depth_core(camera, params, pose_q, pose_t, level_points,
+                          depth_pyr, obs_scale, contrib_mask,
+                          optimize_intrinsics)
 
 
 @partial(jax.jit, static_argnames=("scale_count",))
@@ -369,56 +455,284 @@ def _cost_depth_one(camera: cm.Camera, params, pose_q, pose_t, level_points,
     return jnp.sum(jnp.where(ok, rho, 0.0)), jnp.sum(ok)
 
 
-@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics"))
-def _hb_one_rig(camera: cm.Camera, params, extr_q, extr_t, ref_q, ref_t,
-                level_points, level_neighbors, level_desc, image_pyr, obs_scale,
-                contrib_mask, scale_count: int, optimize_intrinsics: bool):
+def _hb_rig_core(camera, params, extr_q, extr_t, ref_q, ref_t,
+                 points, neighbors, desc, image_pyr, obs_scale,
+                 contrib_mask, radius, optimize_intrinsics: bool,
+                 dynamic_scale: bool):
     """H,b for a rig-DEPENDENT image: pose = image_T_rig . ref_pose.
 
     Returned block layout: [P intrinsics | 6 rig extrinsics | 6 ref pose]
     (``intrinsics_and_pose_optimizer.cc:624-720`` rig branch).
     """
-    P = params.shape[0]
 
-    def residuals(eps_e, eps_r, prm):
+    def inten_of(eps_e, eps_r, prm):
         extr = SE3.exp(eps_e).compose(SE3(extr_q, extr_t))
         ref = SE3.exp(eps_r).compose(SE3(ref_q, ref_t))
         pose = extr.compose(ref)
-        inten, _ = _point_intensities(camera, prm, pose.q, pose.t,
-                                      level_points, image_pyr, obs_scale)
-        return (inten[level_neighbors] - inten[:, None]) - level_desc
+        return _intensity_ok(camera, prm, pose, points, image_pyr, obs_scale,
+                             radius, dynamic_scale)
 
     z6 = jnp.zeros(6, jnp.float32)
-    r0 = residuals(z6, z6, params)
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(r0 * r0, -1), 1e-20))
-    rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
-    w = huber_weight(norm, DEFAULT_COLOR_HUBER)
-
-    J_e, J_r, J_int = jax.jacfwd(residuals, argnums=(0, 1, 2))(z6, z6, params)
-
-    pose0 = SE3(extr_q, extr_t).compose(SE3(ref_q, ref_t))
-    inten, ok = _point_intensities(camera, params, pose0.q, pose0.t, level_points,
-                                   image_pyr, obs_scale)
-    all_ok = ok & jnp.all(ok[level_neighbors], -1) & contrib_mask
-    wfull = jnp.where(all_ok, w, 0.0)
-
+    inten, ok = inten_of(z6, z6, params)
+    J_e, J_r, J_int = jax.jacfwd(lambda e, r_, p: inten_of(e, r_, p)[0],
+                                 argnums=(0, 1, 2))(z6, z6, params)
     if optimize_intrinsics:
-        rows = jnp.concatenate([J_int, J_e, J_r], -1)
+        J = jnp.concatenate([J_int, J_e, J_r], -1)
     else:
-        rows = jnp.concatenate([J_e, J_r], -1)
-    V = rows.shape[-1]
-    sw = jnp.sqrt(wfull)[:, None]
-    rows_w = (rows * sw[..., None]).reshape(-1, V)
-    r_w = (r0 * sw).reshape(-1)
-    H = jax.lax.dot_general(
-        rows_w, rows_w, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    b = jnp.sum(rows_w * r_w[:, None], 0)
-    cost = jnp.sum(jnp.where(all_ok, rho, 0.0))
-    count = jnp.sum(all_ok)
-    return H, b, cost, count
+        J = jnp.concatenate([J_e, J_r], -1)
+    return _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask)
+
+
+@partial(jax.jit, static_argnames=("scale_count", "optimize_intrinsics",
+                                   "dynamic_scale"))
+def _hb_one_rig(camera: cm.Camera, params, extr_q, extr_t, ref_q, ref_t,
+                level_points, level_neighbors, level_desc, image_pyr, obs_scale,
+                contrib_mask, scale_count: int, optimize_intrinsics: bool,
+                radius=0.0, dynamic_scale: bool = False):
+    """Single-image wrapper over ``_hb_rig_core`` (kept for tests / tools)."""
+    return _hb_rig_core(camera, params, extr_q, extr_t, ref_q, ref_t,
+                        level_points, level_neighbors, level_desc, image_pyr,
+                        obs_scale, contrib_mask, radius, optimize_intrinsics,
+                        dynamic_scale)
+
+
+# ---------------------------------------------------------------------------
+# Batched (vmapped-over-images) dispatch layer
+#
+# The reference's hot loop iterates images one by one on the CPU
+# (``intrinsics_and_pose_optimizer.cc:624-720``); here images of a group
+# share shapes, so visibility / cost / H,b run as ONE dispatch per
+# (image-chunk, level, residual-type) — vmapped over the image axis, which
+# is also the natural axis to shard over a device mesh (each device owns a
+# slice of the chunk; per-image H blocks never need a collective, the
+# shared intrinsics block is reduced on the host or via psum).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("scale_count", "width", "height",
+                                   "geom_batched"))
+def _visibility_batch(camera: cm.Camera, pose_q, pose_t, points, radius,
+                      occl_depth, current_scale, scale_count: int,
+                      width: int, height: int, depth_slack, min_depth,
+                      geom_batched: bool = False):
+    """(mask (nb,M), obs_scale (nb,M)) for an image chunk."""
+    ga = 0 if geom_batched else None
+    fn = jax.vmap(
+        lambda q, t, pts, od: _visibility_core(
+            camera, q, t, pts, radius, od, current_scale, scale_count,
+            width, height, depth_slack, min_depth),
+        in_axes=(0, 0, ga, 0))
+    return fn(pose_q, pose_t, points, occl_depth)
+
+
+@partial(jax.jit, static_argnames=("geom_batched",))
+def _mask_filter_batch(camera: cm.Camera, pose_q, pose_t, points, obs_scale,
+                       valid, image_pyr, mask_pyr, max_valid_intensity,
+                       geom_batched: bool = False):
+    ga = 0 if geom_batched else None
+    fn = jax.vmap(
+        lambda q, t, pts, s, v, pyr, mpyr: _mask_filter_core(
+            camera, q, t, pts, s, v, pyr, mpyr, max_valid_intensity),
+        in_axes=(0, 0, ga, 0, 0, 0, 0))
+    return fn(pose_q, pose_t, points, obs_scale, valid, image_pyr, mask_pyr)
+
+
+@partial(jax.jit, static_argnames=("geom_batched",))
+def _cost_batch(camera: cm.Camera, params, pose_q, pose_t, points, neighbors,
+                desc, image_pyr, obs_scale, contrib,
+                geom_batched: bool = False):
+    """Summed (cost, count) of a chunk of images on one level."""
+    ga = 0 if geom_batched else None
+
+    def one(q, t, pts, nbr, d, pyr, s, m):
+        inten, ok = _point_intensities(camera, params, q, t, pts, pyr, s)
+        all_ok = ok & jnp.all(ok[nbr], -1) & m
+        r = (inten[nbr] - inten[:, None]) - d
+        r = jnp.where(all_ok[:, None], r, 0.0)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
+        rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
+        return jnp.sum(jnp.where(all_ok, rho, 0.0)), jnp.sum(all_ok)
+
+    fn = jax.vmap(one, in_axes=(0, 0, ga, ga, ga, 0, 0, 0))
+    cost, count = fn(pose_q, pose_t, points, neighbors, desc, image_pyr,
+                     obs_scale, contrib)
+    return jnp.sum(cost), jnp.sum(count)
+
+
+@partial(jax.jit, static_argnames=("geom_batched",))
+def _imgdesc_batch(camera: cm.Camera, params, pose_q, pose_t, points,
+                   neighbors, image_pyr, obs_scale, contrib,
+                   geom_batched: bool = False):
+    """Chunk contribution to the variable-descriptor mean
+    (``opt/color_optimizer.cc:40-123``). Shared geometry: returns the summed
+    (desc_sum (N,K), count (N,)); batched geometry: per-image (nb,M,K) /
+    (nb,M) for the caller to scatter into the level arrays."""
+    ga = 0 if geom_batched else None
+
+    def one(q, t, pts, nbr, pyr, s, m):
+        inten, ok = _point_intensities(camera, params, q, t, pts, pyr, s)
+        all_ok = ok & jnp.all(ok[nbr], -1) & m
+        d = inten[nbr] - inten[:, None]
+        return jnp.where(all_ok[:, None], d, 0.0), all_ok
+
+    fn = jax.vmap(one, in_axes=(0, 0, ga, ga, 0, 0, 0))
+    d, ok = fn(pose_q, pose_t, points, neighbors, image_pyr, obs_scale, contrib)
+    if geom_batched:
+        return d, ok
+    return jnp.sum(d, 0), jnp.sum(ok.astype(jnp.int32), 0)
+
+
+@jax.jit
+def _scatter_view_desc(desc_sum, count, d, ok, scatter_idx):
+    """Scatter a view chunk's per-image descriptors back to the dense level
+    arrays (drop-mode: padding rows carry scatter index N)."""
+    k = d.shape[-1]
+    flat = scatter_idx.reshape(-1)
+    desc_sum = desc_sum.at[flat].add(d.reshape(-1, k), mode="drop")
+    count = count.at[flat].add(ok.reshape(-1).astype(jnp.int32), mode="drop")
+    return desc_sum, count
+
+
+@partial(jax.jit, static_argnames=("optimize_intrinsics", "dynamic_scale",
+                                   "geom_batched"))
+def _hb_batch(camera: cm.Camera, params, pose_q, pose_t, points, neighbors,
+              desc, image_pyr, obs_scale, contrib, radius,
+              optimize_intrinsics: bool, dynamic_scale: bool,
+              geom_batched: bool = False):
+    """Per-image H (nb,V,V), b (nb,V) + summed cost/count for a chunk."""
+    ga = 0 if geom_batched else None
+    fn = jax.vmap(
+        lambda q, t, pts, nbr, d, pyr, s, m: _hb_core(
+            camera, params, q, t, pts, nbr, d, pyr, s, m, radius,
+            optimize_intrinsics, dynamic_scale),
+        in_axes=(0, 0, ga, ga, ga, 0, 0, 0))
+    H, b, cost, count = fn(pose_q, pose_t, points, neighbors, desc,
+                           image_pyr, obs_scale, contrib)
+    return H, b, jnp.sum(cost), jnp.sum(count)
+
+
+@partial(jax.jit, static_argnames=("optimize_intrinsics", "dynamic_scale",
+                                   "geom_batched"))
+def _hb_rig_batch(camera: cm.Camera, params, extr_q, extr_t, ref_q, ref_t,
+                  points, neighbors, desc, image_pyr, obs_scale, contrib,
+                  radius, optimize_intrinsics: bool, dynamic_scale: bool,
+                  geom_batched: bool = False):
+    """Rig-dependent chunk: extrinsics shared, reference pose per image."""
+    ga = 0 if geom_batched else None
+    fn = jax.vmap(
+        lambda rq, rt, pts, nbr, d, pyr, s, m: _hb_rig_core(
+            camera, params, extr_q, extr_t, rq, rt, pts, nbr, d, pyr, s, m,
+            radius, optimize_intrinsics, dynamic_scale),
+        in_axes=(0, 0, ga, ga, ga, 0, 0, 0))
+    H, b, cost, count = fn(ref_q, ref_t, points, neighbors, desc,
+                           image_pyr, obs_scale, contrib)
+    return H, b, jnp.sum(cost), jnp.sum(count)
+
+
+@partial(jax.jit, static_argnames=("optimize_intrinsics", "geom_batched"))
+def _hb_depth_batch(camera: cm.Camera, params, pose_q, pose_t, points,
+                    depth_pyr, obs_scale, contrib,
+                    optimize_intrinsics: bool, geom_batched: bool = False):
+    ga = 0 if geom_batched else None
+    fn = jax.vmap(
+        lambda q, t, pts, pyr, s, m: _hb_depth_core(
+            camera, params, q, t, pts, pyr, s, m, optimize_intrinsics),
+        in_axes=(0, 0, ga, 0, 0, 0))
+    H, b, cost, count = fn(pose_q, pose_t, points, depth_pyr, obs_scale,
+                           contrib)
+    return H, b, jnp.sum(cost), jnp.sum(count)
+
+
+@partial(jax.jit, static_argnames=("geom_batched",))
+def _cost_depth_batch(camera: cm.Camera, params, pose_q, pose_t, points,
+                      depth_pyr, obs_scale, contrib,
+                      geom_batched: bool = False):
+    from dataset_pipeline_tpu.ops.robust import DEFAULT_DEPTH_TUKEY, tukey_rho
+
+    ga = 0 if geom_batched else None
+
+    def one(q, t, pts, pyr, s, m):
+        pose = SE3(q, t)
+        p_cam = pose.apply(pts)
+        z = p_cam[:, 2]
+        c2 = camera.with_params(params)
+        pix, valid = cm.project(c2, p_cam)
+        D, okD = _sample_pyramid(pyr, pix, s)
+        ok = valid & okD & (D > 0) & m
+        inv_D = jnp.where(D > 0, 1.0 / jnp.maximum(D, 1e-9), 0.0)
+        inv_z = jnp.where(z != 0, 1.0 / jnp.where(z == 0, 1.0, z), 0.0)
+        r = inv_D - inv_z
+        rho = tukey_rho(r, DEFAULT_DEPTH_TUKEY)
+        return jnp.sum(jnp.where(ok, rho, 0.0)), jnp.sum(ok)
+
+    fn = jax.vmap(one, in_axes=(0, 0, ga, 0, 0, 0))
+    cost, count = fn(pose_q, pose_t, points, depth_pyr, obs_scale, contrib)
+    return jnp.sum(cost), jnp.sum(count)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_radius_px"))
+def _occl_splat_batch(pose_q, pose_t, points, radii, width: int, height: int,
+                      fx, fy, cx, cy, max_radius_px: int):
+    """Splat occlusion depth for a chunk of images in one dispatch."""
+
+    def one(q, t):
+        p_cam = SE3(q, t).apply(points)
+        return render_splats_depth(p_cam, radii, width, height, fx, fy, cx, cy,
+                                   max_radius_px=max_radius_px)
+
+    return jax.vmap(one)(pose_q, pose_t)
+
+
+def _chunk_indices(n: int, chunk: int, min_bucket: int = 1):
+    """Split range(n) into chunks of ``chunk`` plus a power-of-two padded
+    remainder: [(idx (nb,), valid (nb,) bool)], keeping the number of
+    distinct compiled shapes O(log chunk)."""
+    out = []
+    start = 0
+    while start + chunk <= n:
+        idx = np.arange(start, start + chunk)
+        out.append((idx, np.ones(chunk, bool)))
+        start += chunk
+    rem = n - start
+    if rem > 0:
+        nb = min_bucket
+        while nb < rem:
+            nb *= 2
+        nb = min(nb, chunk)
+        idx = np.concatenate([np.arange(start, n),
+                              np.full(nb - rem, n - 1, np.int64)])
+        valid = np.zeros(nb, bool)
+        valid[:rem] = True
+        out.append((idx, valid))
+    return out
+
+
+@dataclass
+class ImageBatch:
+    """One image chunk of one (group, level): pre-gathered static inputs.
+
+    Geometry is the full level's (shared across the chunk) without the
+    observations cache, or the stacked per-image compacted views with it.
+    """
+
+    idx: np.ndarray  # (nb,) image indices within the group
+    valid: np.ndarray  # (nb,) False for padding rows
+    row_valid_dev: jnp.ndarray  # (nb,) device copy
+    geom_batched: bool
+    points: jnp.ndarray  # (M,3) or (nb,M,3)
+    neighbors: jnp.ndarray  # (M,K) or (nb,M,K)
+    fixed_desc: jnp.ndarray  # (M,K) or (nb,M,K)
+    pyr: tuple  # per group scale (nb,H_s,W_s)
+    mask_pyr: tuple  # () or per scale (nb,H_s,W_s)
+    depth_pyr: Optional[tuple]  # None or per scale (nb,H_s,W_s)
+    core: Optional[jnp.ndarray] = None  # (nb,M) candidate rows (views only)
+    gather_idx: Optional[jnp.ndarray] = None  # (nb,M) view -> level index
+    scatter_idx: Optional[jnp.ndarray] = None  # (nb,M) padded with N
+    idx_dev: Optional[jnp.ndarray] = None  # (nb,) device copy of ``idx``
+
+    @property
+    def nb(self) -> int:
+        return len(self.idx)
 
 
 # ---------------------------------------------------------------------------
@@ -444,7 +758,9 @@ class PhotometricOptimizer:
 
     def __init__(self, problem: PhotoProblem, optimize_intrinsics: bool = True,
                  max_radius_px: int = 3, fixed_weight: float = 1.0,
-                 variable_weight: float = 0.0, depth_weight: float = 0.0):
+                 variable_weight: float = 0.0, depth_weight: float = 0.0,
+                 image_chunk: int = 8, scale_jacobian: bool = True,
+                 mesh=None):
         self.depth_weight = depth_weight
         # reference defaults enable BOTH residual types (opt/parameters.h:50-51)
         # but variable colors require the alternation; pass variable_weight=1.0
@@ -452,6 +768,26 @@ class PhotometricOptimizer:
         self.fixed_weight = fixed_weight
         self.variable_weight = variable_weight
         self._var_desc = None
+        # image-scale Jacobian chain row (``.cc:1026-1070``)
+        self.scale_jacobian = scale_jacobian
+        # images per dispatch: bounds both per-dispatch memory (O(chunk*N*V)
+        # J storage) and the dispatch count (the remote-relay latency axis)
+        self.image_chunk = image_chunk
+        # optional device mesh: the H,b accumulation shard_maps the image
+        # axis of every chunk over it (parallel/photometric.py); chunks are
+        # padded to a multiple of the mesh size
+        self.mesh = mesh
+        self._kernels = None
+        self._chunk_min_bucket = 1
+        if mesh is not None:
+            from dataset_pipeline_tpu.parallel.photometric import (
+                ShardedPhotometricKernels,
+            )
+
+            self._kernels = ShardedPhotometricKernels(mesh)
+            nd = self._kernels.n_devices
+            self._chunk_min_bucket = nd
+            self.image_chunk = max(nd, (image_chunk + nd - 1) // nd * nd)
         self.__init_rest(problem, optimize_intrinsics, max_radius_px)
 
     def __init_rest(self, problem: PhotoProblem, optimize_intrinsics: bool,
@@ -464,6 +800,79 @@ class PhotometricOptimizer:
         self._frozen_vis = None
         self.obs_cache = None
         self._sync_dependent_poses()
+        self._build_batches()
+
+    # -- image chunking --------------------------------------------------------
+
+    def _make_batch(self, gi: int, g, l: int, idx: np.ndarray,
+                    valid: np.ndarray, views) -> ImageBatch:
+        level = self.p.levels[l]
+        idx_dev = jnp.asarray(idx.astype(np.int32))
+        pyr = tuple(g.pyramid[s][idx_dev] for s in range(g.level_count))
+        mask_pyr = ()
+        if getattr(g, "mask_pyramid", None):
+            mask_pyr = tuple(mp[idx_dev] for mp in g.mask_pyramid)
+        depth_pyr = None
+        if self.p.depth_map_pyramids is not None:
+            depth_pyr = tuple(self.p.depth_map_pyramids[gi][s][idx_dev]
+                              for s in range(g.level_count))
+        if views is None:
+            batch = ImageBatch(idx, valid, jnp.asarray(valid), False,
+                               level.points, level.neighbors,
+                               level.fixed_descriptors, pyr, mask_pyr,
+                               depth_pyr)
+        else:
+            batch = ImageBatch(
+                idx, valid, jnp.asarray(valid), True,
+                jnp.stack([v.points for v in views]),
+                jnp.stack([v.neighbors for v in views]),
+                jnp.stack([v.fixed_descriptors for v in views]),
+                pyr, mask_pyr, depth_pyr,
+                core=jnp.stack([v.core for v in views]),
+                gather_idx=jnp.stack([v.gather_idx for v in views]),
+                scatter_idx=jnp.stack([v.scatter_idx for v in views]),
+            )
+        batch.idx_dev = idx_dev
+        return batch
+
+    def _build_batches(self):
+        """Pre-gather per-(group, level) image chunks — the static inputs of
+        the batched dispatch layer. Rebuilt when the observations cache is
+        (re)built, since the cache swaps geometry for compacted views."""
+        self._batches = {}
+        self._batch_row = {}
+        for gi, g in enumerate(self.p.groups):
+            for l in range(len(self.p.levels)):
+                batches = []
+                if self.obs_cache is None:
+                    for idx, valid in _chunk_indices(g.num_images,
+                                                     self.image_chunk,
+                                                     self._chunk_min_bucket):
+                        batches.append(self._make_batch(gi, g, l, idx, valid,
+                                                        None))
+                else:
+                    # images with equal view bucket sizes share shapes
+                    by_size = {}
+                    for b in range(g.num_images):
+                        v = self.obs_cache.view(gi, b, l)
+                        by_size.setdefault(v.size, []).append(b)
+                    for size in sorted(by_size):
+                        imgs = np.asarray(by_size[size])
+                        for rel, valid in _chunk_indices(len(imgs),
+                                                         self.image_chunk,
+                                                         self._chunk_min_bucket):
+                            idx = imgs[rel]
+                            views = [self.obs_cache.view(gi, int(b), l)
+                                     for b in idx]
+                            batches.append(self._make_batch(gi, g, l, idx,
+                                                            valid, views))
+                rowmap = {}
+                for bi, batch in enumerate(batches):
+                    for j in range(batch.nb):
+                        if batch.valid[j]:
+                            rowmap[int(batch.idx[j])] = (bi, j)
+                self._batches[(gi, l)] = batches
+                self._batch_row[(gi, l)] = rowmap
 
     # -- observations cache ----------------------------------------------------
 
@@ -484,22 +893,35 @@ class PhotometricOptimizer:
             cache = ObservationsCache.load(load_path, self.p.levels)
             if cache is not None:
                 self.obs_cache = cache
+                self._frozen_vis = None
+                self._build_batches()
                 return cache
         cache = ObservationsCache()
         occl = self._occlusion_depths()
         for gi, g in enumerate(self.p.groups):
             cam = g.camera
-            for b in range(g.num_images):
-                for l, level in enumerate(self.p.levels):
-                    m, _ = _visibility_one_image(
-                        cam, g.poses.q[b], g.poses.t[b], level.points,
+            for l, level in enumerate(self.p.levels):
+                for idx, valid in _chunk_indices(g.num_images,
+                                                 self.image_chunk):
+                    idxd = jnp.asarray(idx.astype(np.int32))
+                    m, _ = _visibility_batch(
+                        cam, g.poses.q[idxd], g.poses.t[idxd], level.points,
                         jnp.asarray(level.radius, jnp.float32),
-                        occl[gi][b] + self.p.occlusion_depth_threshold,
+                        occl[gi][idxd],
                         jnp.asarray(0.0, jnp.float32),
                         g.level_count, cam.width, cam.height,
+                        jnp.asarray(2.0 * self.p.occlusion_depth_threshold,
+                                    jnp.float32),
+                        jnp.asarray(0.05, jnp.float32),
+                        geom_batched=False,
                     )
-                    cache.set_candidates(gi, b, l, level, np.asarray(m))
+                    m_np = np.asarray(m)
+                    for j in np.flatnonzero(valid):
+                        cache.set_candidates(gi, int(idx[j]), l, level,
+                                             m_np[j])
         self.obs_cache = cache
+        self._frozen_vis = None
+        self._build_batches()
         if save_path is not None:
             cache.save(save_path, self.p.levels)
         return cache
@@ -558,70 +980,81 @@ class PhotometricOptimizer:
     # -- occlusion ----------------------------------------------------------
 
     def _occlusion_depths(self):
-        """Occlusion depth per (group, image) at the group's full resolution:
-        the occlusion mesh (with boundary masking) when present, else point
-        splats (``opt/occlusion_geometry.cc`` mesh vs splat paths)."""
+        """Occlusion depth per group, stacked (B,H,W) at the group's full
+        resolution: the occlusion mesh (with boundary masking) when present,
+        else point splats (``opt/occlusion_geometry.cc`` mesh vs splat
+        paths). The splat path renders ``image_chunk`` images per dispatch."""
         out = []
         for g in self.p.groups:
             cam = g.camera
-            per_image = []
-            for b in range(g.num_images):
-                pose = SE3(g.poses.q[b], g.poses.t[b])
-                if self.p.occlusion_mesh is not None:
-                    from dataset_pipeline_tpu.ops.mesh_raster import (
-                        render_occlusion_mesh_depth,
-                    )
+            if self.p.occlusion_mesh is not None:
+                from dataset_pipeline_tpu.ops.mesh_raster import (
+                    render_occlusion_mesh_depth,
+                )
 
-                    d = render_occlusion_mesh_depth(
-                        cam, pose, self.p.occlusion_mesh,
+                per_image = [
+                    render_occlusion_mesh_depth(
+                        cam, SE3(g.poses.q[b], g.poses.t[b]),
+                        self.p.occlusion_mesh,
                         splat_radius=self.p.occlusion_radius,
                     )
-                else:
-                    p_cam = pose.apply(self.p.occlusion_points)
-                    d = render_splats_depth(
-                        p_cam,
-                        jnp.full((p_cam.shape[0],), self.p.occlusion_radius, jnp.float32),
-                        cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
-                        max_radius_px=self.max_radius_px,
-                    )
-                per_image.append(d)
-            out.append(per_image)
+                    for b in range(g.num_images)
+                ]
+                out.append(jnp.stack(per_image))
+                continue
+            radii = jnp.full((self.p.occlusion_points.shape[0],),
+                             self.p.occlusion_radius, jnp.float32)
+            chunks = []
+            for idx, valid in _chunk_indices(g.num_images, self.image_chunk):
+                idxd = jnp.asarray(idx.astype(np.int32))
+                d = _occl_splat_batch(
+                    g.poses.q[idxd], g.poses.t[idxd],
+                    self.p.occlusion_points, radii,
+                    cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
+                    self.max_radius_px,
+                )
+                chunks.append(d[: int(valid.sum())])
+            out.append(jnp.concatenate(chunks, 0))
         return out
 
     # -- visibility ----------------------------------------------------------
 
     def _visibility(self, occl):
-        """vis[gi][b][l] = (mask, local_obs_scale) on the group's scale axis."""
+        """vis[gi][l][batch_index] = (mask (nb,M), obs_scale (nb,M)) aligned
+        with ``self._batches[(gi, l)]``."""
         vis = []
         for gi, g in enumerate(self.p.groups):
             cam = g.camera
             local_current = max(self.current_scale - g.min_image_scale, 0)
-            g_vis = []
-            for b in range(g.num_images):
-                per_level = []
-                for l, level in enumerate(self.p.levels):
-                    view = self._view(gi, b, l)
-                    pts = level.points if view is None else view.points
-                    m, s = _visibility_one_image(
-                        cam, g.poses.q[b], g.poses.t[b], pts,
-                        jnp.asarray(level.radius, jnp.float32), occl[gi][b],
+            per_level = []
+            for l, level in enumerate(self.p.levels):
+                per_batch = []
+                for batch in self._batches[(gi, l)]:
+                    q = g.poses.q[batch.idx_dev]
+                    t = g.poses.t[batch.idx_dev]
+                    m, s = _visibility_batch(
+                        cam, q, t, batch.points,
+                        jnp.asarray(level.radius, jnp.float32),
+                        occl[gi][batch.idx_dev],
                         jnp.asarray(local_current, jnp.float32),
                         g.level_count, cam.width, cam.height,
+                        jnp.asarray(self.p.occlusion_depth_threshold,
+                                    jnp.float32),
+                        jnp.asarray(0.05, jnp.float32),
+                        geom_batched=batch.geom_batched,
                     )
-                    if view is not None:
-                        m = m & view.core
-                    mask_pyr = (
-                        [mp[b] for mp in g.mask_pyramid]
-                        if getattr(g, "mask_pyramid", None) else []
-                    )
-                    m = _mask_oversaturation_filter(
-                        cam, g.poses.q[b], g.poses.t[b], pts, s, m,
-                        self._image_pyr(gi, b), mask_pyr,
+                    if batch.core is not None:
+                        m = m & batch.core
+                    m = m & batch.row_valid_dev[:, None]
+                    m = _mask_filter_batch(
+                        cam, q, t, batch.points, s, m, batch.pyr,
+                        batch.mask_pyr,
                         jnp.asarray(self.p.max_valid_intensity, jnp.float32),
+                        geom_batched=batch.geom_batched,
                     )
-                    per_level.append((m, s))
-                g_vis.append(per_level)
-            vis.append(g_vis)
+                    per_batch.append((m, s))
+                per_level.append(per_batch)
+            vis.append(per_level)
         return vis
 
     def _image_pyr(self, gi, b):
@@ -640,22 +1073,20 @@ class PhotometricOptimizer:
             desc_sum = jnp.zeros((n, k), jnp.float32)
             count = jnp.zeros((n,), jnp.int32)
             for gi, g in enumerate(self.p.groups):
-                for b in range(g.num_images):
-                    pyr = self._image_pyr(gi, b)
-                    mask, s = vis[gi][b][l]
-                    pts, nbr, _ = self._geom(gi, b, l)
-                    d, ok = _image_descriptors_one(
-                        g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
-                        pts, nbr, pyr, s, mask, g.level_count,
+                for bi, batch in enumerate(self._batches[(gi, l)]):
+                    mask, s = vis[gi][l][bi]
+                    d, ok = _imgdesc_batch(
+                        g.camera, g.camera.params, g.poses.q[batch.idx_dev],
+                        g.poses.t[batch.idx_dev], batch.points,
+                        batch.neighbors, batch.pyr, s, mask,
+                        geom_batched=batch.geom_batched,
                     )
-                    view = self._view(gi, b, l)
-                    if view is None:
+                    if batch.geom_batched:
+                        desc_sum, count = _scatter_view_desc(
+                            desc_sum, count, d, ok, batch.scatter_idx)
+                    else:
                         desc_sum = desc_sum + d
                         count = count + ok
-                    else:
-                        desc_sum = desc_sum.at[view.scatter_idx].add(d, mode="drop")
-                        count = count.at[view.scatter_idx].add(
-                            ok.astype(jnp.int32), mode="drop")
             desc = desc_sum / jnp.maximum(count, 1)[:, None]
             out.append((desc, count >= 2))
         return out
@@ -669,53 +1100,55 @@ class PhotometricOptimizer:
             weights.append(self.variable_weight)
         return weights
 
-    def _residual_sets(self, gi, b, level_idx):
-        """[(descriptors, extra_mask_or_None, static_weight)] per active type,
-        on this image's geometry view when the observations cache is active."""
+    def _batch_residual_sets(self, level_idx: int, batch: ImageBatch):
+        """[(descriptors, extra_mask_or_None, static_weight)] per active
+        type, on the batch's geometry (stacked views or the shared level)."""
         sets = []
-        view = self._view(gi, b, level_idx)
-        _, _, fixed_desc = self._geom(gi, b, level_idx)
         if self.fixed_weight > 0:
-            sets.append((fixed_desc, None, self.fixed_weight))
+            sets.append((batch.fixed_desc, None, self.fixed_weight))
         if self.variable_weight > 0 and self._var_desc is not None:
             desc, mask2 = self._var_desc[level_idx]
-            if view is not None:
-                desc = desc[view.gather_idx]
-                mask2 = mask2[view.gather_idx]
+            if batch.geom_batched:
+                desc = desc[batch.gather_idx]
+                mask2 = mask2[batch.gather_idx]
+            else:
+                mask2 = mask2[None, :]
             sets.append((desc, mask2, self.variable_weight))
         return sets
 
     # -- cost -----------------------------------------------------------------
 
     def _total_cost(self, group_params, group_poses, vis) -> float:
-        # weighted mean per residual type (problem.cc:602-631)
-        sums = {}
-        counts = {}
+        # weighted mean per residual type (problem.cc:602-631); all terms are
+        # dispatched first and fetched in ONE device_get (no per-term sync)
+        pend = []
         for gi, g in enumerate(self.p.groups):
-            for b in range(g.num_images):
-                pyr = self._image_pyr(gi, b)
-                for l, level in enumerate(self.p.levels):
-                    mask, s = vis[gi][b][l]
-                    pts, nbr, _ = self._geom(gi, b, l)
-                    for ti, (desc, extra, w) in enumerate(self._residual_sets(gi, b, l)):
+            for l in range(len(self.p.levels)):
+                for bi, batch in enumerate(self._batches[(gi, l)]):
+                    mask, s = vis[gi][l][bi]
+                    q = group_poses[gi].q[batch.idx_dev]
+                    t = group_poses[gi].t[batch.idx_dev]
+                    for ti, (desc, extra, _) in enumerate(
+                            self._batch_residual_sets(l, batch)):
                         m = mask if extra is None else (mask & extra)
-                        c, n = _cost_one(
-                            g.camera, group_params[gi], group_poses[gi].q[b],
-                            group_poses[gi].t[b], pts, nbr,
-                            desc, pyr, s, m, g.level_count,
+                        c, n = _cost_batch(
+                            g.camera, group_params[gi], q, t, batch.points,
+                            batch.neighbors, desc, batch.pyr, s, m,
+                            geom_batched=batch.geom_batched,
                         )
-                        sums[ti] = sums.get(ti, 0.0) + float(c)
-                        counts[ti] = counts.get(ti, 0) + int(n)
+                        pend.append((ti, c, n))
                     if self._depth_active(g):
-                        dpyr = [self.p.depth_map_pyramids[gi][sc][b]
-                                for sc in range(g.level_count)]
-                        c, n = _cost_depth_one(
-                            g.camera, group_params[gi], group_poses[gi].q[b],
-                            group_poses[gi].t[b], pts, dpyr, s, mask,
-                            g.level_count,
+                        c, n = _cost_depth_batch(
+                            g.camera, group_params[gi], q, t, batch.points,
+                            batch.depth_pyr, s, mask,
+                            geom_batched=batch.geom_batched,
                         )
-                        sums["depth"] = sums.get("depth", 0.0) + float(c)
-                        counts["depth"] = counts.get("depth", 0) + int(n)
+                        pend.append(("depth", c, n))
+        fetched = jax.device_get([(c, n) for _, c, n in pend])
+        sums, counts = {}, {}
+        for (key, _, _), (c, n) in zip(pend, fetched):
+            sums[key] = sums.get(key, 0.0) + float(c)
+            counts[key] = counts.get(key, 0) + int(n)
         total = 0.0
         weights = self._residual_weights() if self.p.levels else []
         for ti in sums:
@@ -853,72 +1286,107 @@ class PhotometricOptimizer:
                 for (sb, b0, lb) in col_slices:
                     H[sa, sb] += Hb[a0:a0 + la, b0:b0 + lb]
 
+        # phase 1: dispatch every (chunk, level, type) accumulation; results
+        # stay on device (one _hb_batch per chunk instead of one _hb_one per
+        # image — the reference's per-image CPU loop,
+        # ``intrinsics_and_pose_optimizer.cc:624-720``, turned into a vmapped
+        # dispatch whose image axis is also the mesh-sharding axis)
+        pend = []
         for gi, g in enumerate(self.p.groups):
             P = int(g.camera.params.shape[0])
             nint = P if self.optimize_intrinsics else 0
-            oi = offsets_int[gi]
             dependent = g.rig_cam_index > 0
-            for b in range(g.num_images):
-                pyr = self._image_pyr(gi, b)
-                for l, level in enumerate(self.p.levels):
-                    mask, s = vis[gi][b][l]
-                    pts, nbr, _ = self._geom(gi, b, l)
-                    for ti, (desc, extra, w_t) in enumerate(self._residual_sets(gi, b, l)):
+            for l, level in enumerate(self.p.levels):
+                radius = jnp.asarray(level.radius, jnp.float32)
+                for bi, batch in enumerate(self._batches[(gi, l)]):
+                    mask, s = vis[gi][l][bi]
+                    for ti, (desc, extra, w_t) in enumerate(
+                            self._batch_residual_sets(l, batch)):
                         m = mask if extra is None else (mask & extra)
                         if dependent:
                             ref_g = self.p.groups[g.ref_group]
                             extr = self.p.rig_extrinsics[g.rig_id]
-                            slot = int(g.ref_slots[b])
-                            Hb, bvec, c, n = _hb_one_rig(
+                            slots = np.asarray(g.ref_slots)[batch.idx]
+                            slots_dev = jnp.asarray(slots.astype(np.int32))
+                            hb_rig = (self._kernels.hb_rig_batch
+                                      if self._kernels else _hb_rig_batch)
+                            out = hb_rig(
                                 g.camera, g.camera.params,
-                                extr.q[g.rig_cam_index], extr.t[g.rig_cam_index],
-                                ref_g.poses.q[slot], ref_g.poses.t[slot],
-                                pts, nbr, desc,
-                                pyr, s, m, g.level_count, self.optimize_intrinsics,
+                                extr.q[g.rig_cam_index],
+                                extr.t[g.rig_cam_index],
+                                ref_g.poses.q[slots_dev],
+                                ref_g.poses.t[slots_dev],
+                                batch.points, batch.neighbors, desc,
+                                batch.pyr, s, m, radius,
+                                self.optimize_intrinsics, self.scale_jacobian,
+                                geom_batched=batch.geom_batched,
                             )
-                            oe = offsets_rig[g.rig_id] + 6 * (g.rig_cam_index - 1)
-                            orf = offsets_pose[g.ref_group] + 6 * slot
-                            slices = []
-                            if nint:
-                                slices.append((slice(oi, oi + P), 0, P))
-                            slices.append((slice(oe, oe + 6), nint, 6))
-                            slices.append((slice(orf, orf + 6), nint + 6, 6))
+                            meta = dict(kind="rig", gi=gi, ti=ti, w=w_t,
+                                        slots=slots, batch=batch, nint=nint,
+                                        P=P)
                         else:
-                            Hb, bvec, c, n = _hb_one(
-                                g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
-                                pts, nbr, desc,
-                                pyr, s, m, g.level_count, self.optimize_intrinsics,
+                            hb = (self._kernels.hb_batch
+                                  if self._kernels else _hb_batch)
+                            out = hb(
+                                g.camera, g.camera.params,
+                                g.poses.q[batch.idx_dev],
+                                g.poses.t[batch.idx_dev],
+                                batch.points, batch.neighbors, desc,
+                                batch.pyr, s, m, radius,
+                                self.optimize_intrinsics, self.scale_jacobian,
+                                geom_batched=batch.geom_batched,
                             )
-                            op = offsets_pose[gi] + 6 * b
-                            slices = []
-                            if nint:
-                                slices.append((slice(oi, oi + P), 0, P))
-                            slices.append((slice(op, op + 6), nint, 6))
-                        scatter(w_t * np.asarray(Hb, np.float64),
-                                w_t * np.asarray(bvec, np.float64), slices)
-                        cost_sums = self._lm_cost_sums
-                        cost_sums[ti] = (cost_sums[ti][0] + float(c),
-                                         cost_sums[ti][1] + int(n))
+                            meta = dict(kind="plain", gi=gi, ti=ti, w=w_t,
+                                        batch=batch, nint=nint, P=P)
+                        pend.append((meta, out))
                     if self._depth_active(g):
-                        dpyr = [self.p.depth_map_pyramids[gi][sc][b]
-                                for sc in range(g.level_count)]
-                        Hb, bvec, c, n = _hb_depth_one(
-                            g.camera, g.camera.params, g.poses.q[b], g.poses.t[b],
-                            pts, dpyr, s, mask, g.level_count,
+                        hb_depth = (self._kernels.hb_depth_batch
+                                    if self._kernels else _hb_depth_batch)
+                        out = hb_depth(
+                            g.camera, g.camera.params,
+                            g.poses.q[batch.idx_dev],
+                            g.poses.t[batch.idx_dev],
+                            batch.points, batch.depth_pyr, s, mask,
                             self.optimize_intrinsics,
+                            geom_batched=batch.geom_batched,
                         )
-                        op = offsets_pose[gi] + 6 * b
-                        slices = []
-                        if nint:
-                            slices.append((slice(oi, oi + P), 0, P))
-                        slices.append((slice(op, op + 6), nint, 6))
-                        scatter(self.depth_weight * np.asarray(Hb, np.float64),
-                                self.depth_weight * np.asarray(bvec, np.float64),
-                                slices)
-                        self._lm_depth_sums = (
-                            self._lm_depth_sums[0] + float(c),
-                            self._lm_depth_sums[1] + int(n),
-                        )
+                        meta = dict(kind="plain", gi=gi, ti="depth",
+                                    w=self.depth_weight, batch=batch,
+                                    nint=nint, P=P)
+                        pend.append((meta, out))
+
+        # phase 2: ONE host fetch, then assemble the big system in numpy
+        fetched = jax.device_get([out for _, out in pend])
+        for (meta, _), (Hc, bc, c, n) in zip(pend, fetched):
+            gi = meta["gi"]
+            g = self.p.groups[gi]
+            batch = meta["batch"]
+            nint, P, w_t = meta["nint"], meta["P"], meta["w"]
+            oi = offsets_int[gi]
+            Hc = np.asarray(Hc, np.float64)
+            bc = np.asarray(bc, np.float64)
+            for j in range(batch.nb):
+                if not batch.valid[j]:
+                    continue
+                slices = []
+                if nint:
+                    slices.append((slice(oi, oi + P), 0, P))
+                if meta["kind"] == "rig":
+                    oe = offsets_rig[g.rig_id] + 6 * (g.rig_cam_index - 1)
+                    orf = offsets_pose[g.ref_group] + 6 * int(meta["slots"][j])
+                    slices.append((slice(oe, oe + 6), nint, 6))
+                    slices.append((slice(orf, orf + 6), nint + 6, 6))
+                else:
+                    op = offsets_pose[gi] + 6 * int(batch.idx[j])
+                    slices.append((slice(op, op + 6), nint, 6))
+                scatter(w_t * Hc[j], w_t * bc[j], slices)
+            if meta["ti"] == "depth":
+                self._lm_depth_sums = (self._lm_depth_sums[0] + float(c),
+                                       self._lm_depth_sums[1] + int(n))
+            else:
+                ti = meta["ti"]
+                self._lm_cost_sums[ti] = (self._lm_cost_sums[ti][0] + float(c),
+                                          self._lm_cost_sums[ti][1] + int(n))
         weights = self._residual_weights()
         initial = sum(
             w * s_ / max(n_, 1)
@@ -1053,7 +1521,9 @@ class PhotometricOptimizer:
         depth_img = np.full((cam.height, cam.width), np.inf, np.float32)
         pose = SE3(g.poses.q[b], g.poses.t[b])
         for l in range(len(self.p.levels)):
-            mask, s = vis[gi][b][l]
+            bi, j = self._batch_row[(gi, l)][b]
+            m_rows, s_rows = vis[gi][l][bi]
+            mask, s = m_rows[j], s_rows[j]
             pts, nbr, fixed_desc = self._geom(gi, b, l)
             rho = jnp.zeros(pts.shape[0], jnp.float32)
             ok = None

@@ -117,34 +117,70 @@ class PhotoProblem:
         return sum(g.num_images for g in self.groups)
 
 
+BRUTEFORCE_NEIGHBOR_LIMIT = 200_000
+
+
+def _neighbor_candidates(points: np.ndarray, cand: int) -> np.ndarray:
+    """(N, cand) nearest-neighbor candidate indices (self excluded), -1 for
+    missing slots. Brute force (exact, MXU distance matrix) for small levels;
+    voxel-grid kNN with an adaptive cell size for production-scale levels
+    (the reference uses a PCL KdTree, ``opt/problem.cc:706-786``; a bounded
+    uniform grid is the array-first equivalent)."""
+    n = len(points)
+    pts = jnp.asarray(points, jnp.float32)
+    if n <= BRUTEFORCE_NEIGHBOR_LIMIT:
+        _, idx = knn_bruteforce(pts, pts, min(cand + 1, n))
+        idx = np.asarray(idx)
+    else:
+        from dataset_pipeline_tpu.ops.knn import knn_adaptive
+
+        # checked adaptive grid search (auto cell size / ring count / per-cell
+        # cap with drop detection)
+        _, idx = knn_adaptive(pts, pts, min(cand + 1, n), chunk=4096)
+        idx = np.asarray(idx)
+    # drop self matches (first column in the exact case; anywhere for grid)
+    self_col = idx == np.arange(n)[:, None]
+    idx = np.where(self_col, -1, idx)
+    # stable-compact each row so valid candidates lead
+    order = np.argsort(idx < 0, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, order, axis=1)
+    return idx[:, :cand]
+
+
 def determine_point_neighbors(points: np.ndarray, scan_indices: np.ndarray,
                               k: int = DEFAULT_NEIGHBOR_COUNT,
                               num_candidates: int = DEFAULT_NEIGHBOR_CANDIDATES,
                               same_scan_only: bool = True,
                               seed: int = 0) -> np.ndarray:
-    """K random picks from the nearest ``num_candidates`` neighbors.
+    """K seeded-random picks from the nearest ``num_candidates`` neighbors.
 
     Mirrors ``Problem::DeterminePointNeighbors`` (``opt/problem.cc:706-786``):
     seeded RNG, candidates restricted to the same scan when fixed (scan)
-    colors are in use.
+    colors are in use. Fully vectorized: each row draws k candidates without
+    replacement by ranking uniform random keys, with cross-scan candidates
+    pushed behind same-scan ones whenever >=k same-scan candidates exist.
     """
     n = len(points)
-    cand = min(num_candidates + 1, n)
-    _, idx = knn_bruteforce(jnp.asarray(points), jnp.asarray(points), cand)
-    idx = np.asarray(idx)[:, 1:]  # drop self
-    rng = np.random.RandomState(seed)
-    out = np.zeros((n, k), np.int32)
+    idx = _neighbor_candidates(np.asarray(points), num_candidates)
     scan = np.asarray(scan_indices)
-    for i in range(n):
-        cands = idx[i]
-        if same_scan_only:
-            same = cands[scan[cands] == scan[i]]
-            if len(same) >= k:
-                cands = same
-        if len(cands) >= k:
-            out[i] = rng.choice(cands, size=k, replace=False)
-        else:
-            out[i] = np.pad(cands, (0, k - len(cands)), mode="edge")
+    valid = idx >= 0
+    safe = np.maximum(idx, 0)
+    same = (scan[safe] == scan[:, None]) & valid
+
+    rng = np.random.RandomState(seed)
+    keys = rng.rand(n, idx.shape[1])
+    # invalid slots sort last; when the same-scan restriction applies,
+    # cross-scan candidates sort after every same-scan one
+    keys = np.where(valid, keys, np.inf)
+    if same_scan_only:
+        enough_same = same.sum(1) >= k
+        keys = keys + np.where(enough_same[:, None] & valid & ~same, 2.0, 0.0)
+
+    order = np.argsort(keys, axis=1, kind="stable")[:, :k]
+    out = np.take_along_axis(safe, order, axis=1).astype(np.int32)
+    picked_invalid = np.take_along_axis(~valid, order, axis=1)
+    # rows with fewer than k candidates: repeat the first pick (edge-pad)
+    out = np.where(picked_invalid, out[:, :1], out)
     return out
 
 

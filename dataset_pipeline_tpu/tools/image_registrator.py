@@ -336,11 +336,27 @@ def main(argv=None) -> int:
         if args.multi_res_point_cloud_directory_path:
             save_multiscale_cache(
                 args.multi_res_point_cloud_directory_path, levels_raw, cache_params)
-    levels = []
-    for i, lv in enumerate(levels_raw):
-        pl = build_photo_level(lv, seed=i)
-        if pl is not None:
-            levels.append(pl)
+    levels = None
+    if args.multi_res_point_cloud_directory_path:
+        from dataset_pipeline_tpu.photometric.cache import (
+            load_photo_levels_cache,
+            save_photo_levels_cache,
+        )
+
+        levels = load_photo_levels_cache(
+            args.multi_res_point_cloud_directory_path, cache_params)
+        if levels is not None:
+            print("loaded point neighbors/descriptors from cache")
+    if levels is None:
+        levels = []
+        with GLOBAL_TIMER.stage("determine_point_neighbors"):
+            for i, lv in enumerate(levels_raw):
+                pl = build_photo_level(lv, seed=i)
+                if pl is not None:
+                    levels.append(pl)
+        if args.multi_res_point_cloud_directory_path:
+            save_photo_levels_cache(
+                args.multi_res_point_cloud_directory_path, levels, cache_params)
     print(f"{len(levels)} point levels: " + ", ".join(str(len(l.points)) for l in levels))
 
     problem = PhotoProblem(

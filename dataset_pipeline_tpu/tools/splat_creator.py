@@ -50,7 +50,7 @@ def create_splats(points: np.ndarray, normals: np.ndarray,
         d2s, _ = knn_bruteforce(jnp.asarray(sample), jnp.asarray(sample), 2)
         typical = float(np.sqrt(max(float(np.median(np.asarray(d2s)[:, 1])), 1e-12)))
         grid = build_grid(pts, max(typical * 4.0, 1e-6))
-        d2, _ = knn_grid(grid, jnp.asarray(pts), k + 1, max_per_cell=64)
+        d2, _, _ = knn_grid(grid, jnp.asarray(pts), k + 1, max_per_cell=64)
     else:
         d2, _ = knn_bruteforce(jnp.asarray(pts), jnp.asarray(pts), k + 1)
     radius = np.minimum(np.sqrt(np.asarray(d2)[:, k]), max_splat_size).astype(np.float32)

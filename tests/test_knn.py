@@ -38,7 +38,8 @@ def test_knn_grid_matches_bruteforce_within_radius():
     q = RNG.rand(256, 3).astype(np.float32)
     cell = 0.15
     grid = build_grid(pts, cell)
-    d2g, idxg = knn_grid(grid, jnp.asarray(q), 4, max_per_cell=64)
+    d2g, idxg, dropped = knn_grid(grid, jnp.asarray(q), 4, max_per_cell=64)
+    assert int(np.asarray(dropped).sum()) == 0
     d2n, _ = np_knn(q, pts, 4)
     # all true neighbors within the cell size must be found
     mask = d2n <= cell * cell
@@ -94,6 +95,64 @@ def test_normals_grid_path_matches_bruteforce():
     n_g, ok_g = estimate_normals(pts, vp, k=10, grid=grid, max_per_cell=128)
     agree = np.abs((np.asarray(n_bf) * np.asarray(n_g)).sum(-1))
     assert (agree > 0.99).mean() > 0.95
+
+
+def test_knn_grid_multi_ring():
+    """rings=2 finds true neighbors up to 2*cell away (k beyond one cell)."""
+    rng = np.random.RandomState(71)
+    pts = rng.rand(3000, 3).astype(np.float32)
+    q = rng.rand(64, 3).astype(np.float32)
+    cell = 0.08
+    grid = build_grid(pts, cell)
+    k = 24
+    d2g, idxg, dropped = knn_grid(grid, jnp.asarray(q), k, max_per_cell=64,
+                                  rings=2)
+    assert int(np.asarray(dropped).sum()) == 0
+    d2n, _ = np_knn(q, pts, k)
+    mask = d2n <= (2 * cell) ** 2
+    np.testing.assert_allclose(np.asarray(d2g)[mask], d2n[mask], atol=1e-5)
+
+
+def test_knn_grid_reports_drops():
+    """A dense hotspot with a tiny cap must be REPORTED, not silent."""
+    rng = np.random.RandomState(72)
+    pts = np.concatenate([
+        np.zeros((500, 3), np.float32),  # 500 points in one cell
+        rng.rand(100, 3).astype(np.float32) + 2.0,
+    ])
+    grid = build_grid(pts, 0.5)
+    _, _, dropped = knn_grid(grid, jnp.asarray(np.zeros((1, 3), np.float32)),
+                             4, max_per_cell=8)
+    assert int(np.asarray(dropped)[0]) > 0
+
+
+def test_knn_adaptive_exact_at_scale():
+    """Adaptive grid kNN == brute force on a large clustered cloud with a
+    production-sized k (the reference cleaner uses k=270, README.md:372)."""
+    from dataset_pipeline_tpu.ops.knn import knn_adaptive
+
+    rng = np.random.RandomState(73)
+    n_clusters = 40
+    centers = rng.rand(n_clusters, 3).astype(np.float32) * 10
+    pts = np.concatenate([
+        c + rng.randn(3000, 3).astype(np.float32) * rng.uniform(0.02, 0.3)
+        for c in centers
+    ])  # 120k points, strongly non-uniform density
+    q = pts[rng.choice(len(pts), 256, replace=False)]
+    k = 270
+    d2a, idxa = knn_adaptive(pts, q, k)
+    idxa = np.asarray(idxa)
+    assert (idxa >= 0).all()
+    # exactness up to f32 distance rounding: recompute the chosen neighbors'
+    # distances in f64 and compare against the true sorted-kNN distances
+    d2n = ((q[:, None, :].astype(np.float64) - pts[None].astype(np.float64)) ** 2).sum(-1)
+    d2n_sorted = np.sort(d2n, axis=1)[:, :k]
+    chosen = np.take_along_axis(d2n, idxa, 1)
+    chosen.sort(axis=1)
+    np.testing.assert_allclose(chosen, d2n_sorted, rtol=1e-3, atol=1e-4)
+    # and almost all picks are bit-identical to the true neighbor set
+    match = np.abs(chosen - d2n_sorted) <= 1e-9
+    assert match.mean() > 0.995
 
 
 def test_outlier_removal():

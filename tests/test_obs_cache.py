@@ -111,12 +111,16 @@ def test_cached_visibility_and_cost_match_dense():
     opt.current_scale = 0
     occl = opt._occlusion_depths()
 
+    def per_image_count(vis, b, l):
+        bi, j = opt._batch_row[(0, l)][b]
+        return int(np.asarray(vis[0][l][bi][0][j]).sum())
+
     vis_dense = opt._visibility(occl)
     params = [g.camera.params for g in problem.groups]
     poses = [g.poses for g in problem.groups]
     c_dense = opt._total_cost(params, poses, vis_dense)
     counts_dense = [
-        int(np.asarray(vis_dense[0][b][l][0]).sum())
+        per_image_count(vis_dense, b, l)
         for b in range(2) for l in range(len(problem.levels))
     ]
 
@@ -128,7 +132,7 @@ def test_cached_visibility_and_cost_match_dense():
     vis_view = opt._visibility(occl)
     c_view = opt._total_cost(params, poses, vis_view)
     counts_view = [
-        int(np.asarray(vis_view[0][b][l][0]).sum())
+        per_image_count(vis_view, b, l)
         for b in range(2) for l in range(len(problem.levels))
     ]
     assert counts_view == counts_dense
