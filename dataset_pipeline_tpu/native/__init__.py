@@ -74,8 +74,38 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 f32p, f32p, u8p, f32p, ctypes.c_int64, ctypes.c_float,
                 ctypes.c_int32, f32p, f32p, u8p, f32p,
             ]
+            lib.grid_knn.restype = ctypes.c_int32
+            lib.grid_knn.argtypes = [
+                f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_float, i32p, f32p,
+            ]
             _lib = lib
     return _lib
+
+
+def grid_knn(points: np.ndarray, queries: np.ndarray, k: int,
+             skip_self: bool = False, cell_hint: float = 0.0):
+    """Exact threaded kNN over a uniform grid with expanding-ring probes.
+
+    Host-side counterpart of the reference's PCL KdTree queries
+    (``opt/problem.cc:706-786``). Returns (d2 (Q,k) float32 ascending,
+    idx (Q,k) int32, -1 padded) or None if the native library is
+    unavailable. ``skip_self`` excludes the identically-INDEXED point
+    (use when queries is the same array as points)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    qs = np.ascontiguousarray(queries, np.float32)
+    n, q = len(pts), len(qs)
+    k = int(min(k, n))
+    out_idx = np.empty((q, k), np.int32)
+    out_d2 = np.empty((q, k), np.float32)
+    rc = lib.grid_knn(pts, n, qs, q, k, 1 if skip_self else 0,
+                      np.float32(cell_hint), out_idx, out_d2)
+    if rc != 0:
+        return None
+    return out_d2, out_idx
 
 
 def insert_triangles(lo_cells: np.ndarray, hi_cells: np.ndarray, dims,

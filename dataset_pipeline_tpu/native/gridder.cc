@@ -5,6 +5,7 @@
 // bulk point-cloud staging) where a Python loop would dominate end-to-end
 // time at 10^6..10^7-element scale. Exposed via a plain C ABI for ctypes.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -164,6 +165,271 @@ int64_t greedy_merge(const float* pts, const float* colors,
     ++m;
   }
   return m;
+}
+
+// Exact k-nearest-neighbor search over a uniform grid with expanding-ring
+// probes. Host-side counterpart of the reference's PCL KdTree queries
+// (opt/problem.cc:706-786 DeterminePointNeighbors; the cleaner's
+// LocalStatisticalOutlierRemoval). Threaded over queries.
+//
+// Grid: CSR layout (counting sort by cell id). Per query: examine rings of
+// cells around the query's cell, keeping a bounded max-heap of the k best;
+// stop when the ring's minimum possible distance exceeds the current k-th
+// best (and the heap is full). Exact for any point distribution.
+namespace {
+
+struct KnnGrid {
+  float origin[3];
+  float inv_cell;
+  float cell;
+  int64_t dims[3];
+  std::vector<int64_t> cell_start;  // num_cells + 1
+  std::vector<int32_t> order;       // point index per sorted slot
+  std::vector<float> sorted_pts;    // (n,3) positions in slot order
+};
+
+inline int64_t clampi(int64_t v, int64_t lo, int64_t hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+void build_knn_grid(const float* pts, int64_t n, float cell, KnnGrid* g) {
+  float mn[3] = {pts[0], pts[1], pts[2]};
+  float mx[3] = {pts[0], pts[1], pts[2]};
+  for (int64_t i = 1; i < n; ++i) {
+    for (int d = 0; d < 3; ++d) {
+      const float v = pts[3 * i + d];
+      if (v < mn[d]) mn[d] = v;
+      if (v > mx[d]) mx[d] = v;
+    }
+  }
+  g->cell = cell;
+  g->inv_cell = 1.0f / cell;
+  int64_t num_cells = 1;
+  for (int d = 0; d < 3; ++d) {
+    g->origin[d] = mn[d];
+    g->dims[d] = std::max<int64_t>(
+        (int64_t)((mx[d] - mn[d]) * g->inv_cell) + 1, 1);
+    num_cells *= g->dims[d];
+  }
+  std::vector<int32_t> cid(n);
+  g->cell_start.assign(num_cells + 1, 0);
+  const int64_t ny = g->dims[1], nz = g->dims[2];
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = pts + 3 * i;
+    int64_t cx = clampi((int64_t)((p[0] - g->origin[0]) * g->inv_cell), 0, g->dims[0] - 1);
+    int64_t cy = clampi((int64_t)((p[1] - g->origin[1]) * g->inv_cell), 0, ny - 1);
+    int64_t cz = clampi((int64_t)((p[2] - g->origin[2]) * g->inv_cell), 0, nz - 1);
+    int64_t c = (cx * ny + cy) * nz + cz;
+    cid[i] = (int32_t)c;
+    ++g->cell_start[c + 1];
+  }
+  for (int64_t c = 0; c < num_cells; ++c) g->cell_start[c + 1] += g->cell_start[c];
+  g->order.resize(n);
+  std::vector<int64_t> cursor(g->cell_start.begin(), g->cell_start.end() - 1);
+  for (int64_t i = 0; i < n; ++i) g->order[cursor[cid[i]]++] = (int32_t)i;
+  g->sorted_pts.resize(3 * n);
+  for (int64_t s = 0; s < n; ++s)
+    std::memcpy(&g->sorted_pts[3 * s], pts + 3 * g->order[s], 12);
+}
+
+// Bounded max-heap over (d2, idx) pairs, capacity k.
+struct KBest {
+  float* d2;
+  int32_t* idx;
+  int k;
+  int size = 0;
+  inline float worst() const { return size == k ? d2[0] : 3.4e38f; }
+  inline void push(float d, int32_t i) {
+    if (size < k) {
+      int c = size++;
+      d2[c] = d; idx[c] = i;
+      while (c > 0) {
+        int p = (c - 1) >> 1;
+        if (d2[p] >= d2[c]) break;
+        std::swap(d2[p], d2[c]); std::swap(idx[p], idx[c]);
+        c = p;
+      }
+    } else if (d < d2[0]) {
+      d2[0] = d; idx[0] = i;
+      int c = 0;
+      for (;;) {
+        int l = 2 * c + 1, r = l + 1, m = c;
+        if (l < k && d2[l] > d2[m]) m = l;
+        if (r < k && d2[r] > d2[m]) m = r;
+        if (m == c) break;
+        std::swap(d2[m], d2[c]); std::swap(idx[m], idx[c]);
+        c = m;
+      }
+    }
+  }
+};
+
+// Processes queries qorder[q_start..q_end) (qorder = cell-sorted query
+// indices for cache locality; nullptr = natural order). Output rows are
+// written at the ORIGINAL query index.
+void knn_query_range(const float* pts, const KnnGrid& g, const float* queries,
+                     const int32_t* qorder, int64_t q_start, int64_t q_end,
+                     int k, int32_t skip_self, int32_t* out_idx,
+                     float* out_d2) {
+  const int64_t nx = g.dims[0], ny = g.dims[1], nz = g.dims[2];
+  std::vector<float> hd(k);
+  std::vector<int32_t> hi(k);
+  for (int64_t qs = q_start; qs < q_end; ++qs) {
+    const int64_t qi = qorder ? (int64_t)qorder[qs] : qs;
+    const float* p = queries + 3 * qi;
+    KBest heap{hd.data(), hi.data(), k, 0};
+    const float fx = (p[0] - g.origin[0]) * g.inv_cell;
+    const float fy = (p[1] - g.origin[1]) * g.inv_cell;
+    const float fz = (p[2] - g.origin[2]) * g.inv_cell;
+    const int64_t cx = clampi((int64_t)fx, 0, nx - 1);
+    const int64_t cy = clampi((int64_t)fy, 0, ny - 1);
+    const int64_t cz = clampi((int64_t)fz, 0, nz - 1);
+    // Last ring that still intersects the grid at all.
+    const int64_t last_ring = std::max(
+        std::max(std::max(cx, nx - 1 - cx), std::max(cy, ny - 1 - cy)),
+        std::max(cz, nz - 1 - cz));
+    const float px = p[0], py = p[1], pz = p[2];
+    auto visit_cell = [&](int64_t x, int64_t y, int64_t z) {
+      const int64_t c = (x * ny + y) * nz + z;
+      const int64_t s = g.cell_start[c], e = g.cell_start[c + 1];
+      const float* sp = g.sorted_pts.data() + 3 * s;
+      for (int64_t t = s; t < e; ++t, sp += 3) {
+        const float dx = sp[0] - px;
+        const float dy = sp[1] - py;
+        const float dz = sp[2] - pz;
+        const float d2 = dx * dx + dy * dy + dz * dz;
+        if (d2 < heap.worst()) {
+          const int32_t j = g.order[t];
+          if (skip_self && j == (int32_t)qi) continue;
+          heap.push(d2, j);
+        }
+      }
+    };
+    for (int64_t ring = 0; ring <= last_ring; ++ring) {
+      // Min possible distance from the query to any point in a cell at
+      // Chebyshev cell-distance `ring`: (ring-1)*cell (the query may sit
+      // anywhere inside its own cell). Once the heap is full and that
+      // bound exceeds the current k-th best, no farther ring can improve.
+      if (heap.size == k && ring >= 2) {
+        const float sep = (float)(ring - 1) * g.cell;
+        if (sep * sep > heap.worst()) break;
+      }
+      const int64_t x0 = cx - ring, x1 = cx + ring;
+      const int64_t y0 = cy - ring, y1 = cy + ring;
+      const int64_t z0 = cz - ring, z1 = cz + ring;
+      for (int64_t x = std::max<int64_t>(x0, 0); x <= std::min(x1, nx - 1); ++x) {
+        const bool x_face = (x == x0 || x == x1);
+        for (int64_t y = std::max<int64_t>(y0, 0); y <= std::min(y1, ny - 1); ++y) {
+          if (x_face || y == y0 || y == y1) {
+            // full z column belongs to the shell
+            for (int64_t z = std::max<int64_t>(z0, 0);
+                 z <= std::min(z1, nz - 1); ++z)
+              visit_cell(x, y, z);
+          } else {
+            // interior in x and y: only the two z faces are on the shell
+            if (z0 >= 0) visit_cell(x, y, z0);
+            if (z1 < nz && z1 != z0) visit_cell(x, y, z1);
+          }
+        }
+      }
+    }
+    // heap-sort ascending into the output row
+    int32_t* oi = out_idx + (int64_t)k * qi;
+    float* od = out_d2 + (int64_t)k * qi;
+    int m = heap.size;
+    for (int t = m - 1; t >= 0; --t) {
+      od[t] = hd[0]; oi[t] = hi[0];
+      hd[0] = hd[heap.size - 1]; hi[0] = hi[heap.size - 1];
+      --heap.size;
+      int c = 0;
+      for (;;) {
+        int l = 2 * c + 1, r = l + 1, mm = c;
+        if (l < heap.size && hd[l] > hd[mm]) mm = l;
+        if (r < heap.size && hd[r] > hd[mm]) mm = r;
+        if (mm == c) break;
+        std::swap(hd[mm], hd[c]); std::swap(hi[mm], hi[c]);
+        c = mm;
+      }
+    }
+    for (int t = m; t < k; ++t) { od[t] = 3.4e38f; oi[t] = -1; }
+  }
+}
+
+}  // namespace
+
+// Exact kNN: each of q queries gets its k nearest among the n points
+// (ascending). skip_self=1 excludes the point with the same INDEX as the
+// query (for self-queries where queries==pts). Returns 0 on success.
+int32_t grid_knn(const float* pts, int64_t n, const float* queries, int64_t q,
+                 int32_t k, int32_t skip_self, float cell_hint,
+                 int32_t* out_idx, float* out_d2) {
+  if (n <= 0 || q <= 0 || k <= 0) return 1;
+  float mn[3] = {pts[0], pts[1], pts[2]}, mx[3] = {pts[0], pts[1], pts[2]};
+  for (int64_t i = 1; i < n; ++i)
+    for (int d = 0; d < 3; ++d) {
+      const float v = pts[3 * i + d];
+      if (v < mn[d]) mn[d] = v;
+      if (v > mx[d]) mx[d] = v;
+    }
+  float cell = cell_hint;
+  if (cell <= 0.0f) {
+    // Size cells for ~2 k points per ball of radius=cell: with density
+    // rho = n / volume, cell = (2k/rho)^(1/3). Estimate volume from the
+    // bounding box (robust enough; expanding rings fix any misestimate).
+    double vol = 1.0;
+    for (int d = 0; d < 3; ++d) vol *= std::max(1e-6, (double)(mx[d] - mn[d]));
+    cell = (float)std::cbrt(vol * (double)(2 * k) / (double)n);
+    if (!(cell > 0.0f)) cell = 1.0f;
+  }
+  // Cap total cells at ~4n (memory) by growing the cell if needed.
+  for (;;) {
+    double nc = 1.0;
+    for (int d = 0; d < 3; ++d)
+      nc *= std::max<int64_t>((int64_t)((mx[d] - mn[d]) / cell) + 1, 1);
+    if (nc <= 4.0 * (double)n + 64.0) break;
+    cell *= 1.5f;
+  }
+  KnnGrid g;
+  build_knn_grid(pts, n, cell, &g);
+  // Cell-sort the queries so threads touch the grid coherently (at 10^7
+  // points the grid tables exceed L2/L3; natural order thrashes).
+  std::vector<int32_t> qorder;
+  if (q > 100000) {
+    if (queries == pts && (int64_t)g.order.size() == q) {
+      qorder = g.order;
+    } else {
+      const int64_t ny = g.dims[1], nz = g.dims[2];
+      std::vector<std::pair<int64_t, int32_t>> keyed(q);
+      for (int64_t i = 0; i < q; ++i) {
+        const float* p = queries + 3 * i;
+        int64_t cx = clampi((int64_t)((p[0] - g.origin[0]) * g.inv_cell), 0, g.dims[0] - 1);
+        int64_t cy = clampi((int64_t)((p[1] - g.origin[1]) * g.inv_cell), 0, ny - 1);
+        int64_t cz = clampi((int64_t)((p[2] - g.origin[2]) * g.inv_cell), 0, nz - 1);
+        keyed[i] = {(cx * ny + cy) * nz + cz, (int32_t)i};
+      }
+      std::sort(keyed.begin(), keyed.end());
+      qorder.resize(q);
+      for (int64_t i = 0; i < q; ++i) qorder[i] = keyed[i].second;
+    }
+  }
+  const int32_t* qo = qorder.empty() ? nullptr : qorder.data();
+  int nthreads = (int)std::min<int64_t>(std::thread::hardware_concurrency(),
+                                        std::max<int64_t>(q / 20000, 1));
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads == 1) {
+    knn_query_range(pts, g, queries, qo, 0, q, k, skip_self, out_idx, out_d2);
+  } else {
+    std::vector<std::thread> threads;
+    const int64_t chunk = (q + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+      const int64_t s = t * chunk, e = std::min(q, s + chunk);
+      if (s < e)
+        threads.emplace_back(knn_query_range, pts, std::cref(g), queries, qo,
+                             s, e, k, skip_self, out_idx, out_d2);
+    }
+    for (auto& th : threads) th.join();
+  }
+  return 0;
 }
 
 // Morton-order 3D cell ids for points over a bounded grid (for locality-

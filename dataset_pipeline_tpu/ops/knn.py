@@ -239,11 +239,37 @@ def knn_adaptive(points, queries, k: int, chunk: int = 1024,
     d2, idx, dropped = knn_grid(grid, queries, k, target_per_cell, chunk, rings)
     d2 = np.array(d2)
     idx = np.array(idx)
-    kth = np.sqrt(np.maximum(d2[:, -1], 0.0))
-    reach = rings * float(cell)
-    bad = (np.asarray(dropped) > 0) | (idx[:, -1] < 0) | ~(kth <= reach)
+
+    def _uncertified(d2_, idx_, dropped_, reach):
+        kth = np.sqrt(np.maximum(d2_[:, -1], 0.0))
+        return (np.asarray(dropped_) > 0) | (idx_[:, -1] < 0) | ~(kth <= reach)
+
+    bad = _uncertified(d2, idx, dropped, rings * float(cell))
+    # Repair pass 1..2: re-query ONLY the uncertified queries with wider
+    # rings and a larger per-cell cap (still O(local block), never all-N).
+    rep_rings, rep_cap = rings, target_per_cell
+    for _ in range(2):
+        n_bad = int(bad.sum())
+        if n_bad == 0:
+            break
+        rep_rings += 2
+        rep_cap *= 2
+        if verbose:
+            print(f"knn_adaptive: grid repair of {n_bad}/{Q} queries "
+                  f"(rings={rep_rings}, cap={rep_cap})")
+        sel = np.flatnonzero(bad)
+        d2r, idxr, dropr = knn_grid(grid, queries[sel], k, rep_cap,
+                                    min(chunk, 256), rep_rings)
+        d2[sel] = np.asarray(d2r)
+        idx[sel] = np.asarray(idxr)
+        still = _uncertified(np.asarray(d2r), np.asarray(idxr), dropr,
+                             rep_rings * float(cell))
+        nxt = np.zeros_like(bad)
+        nxt[sel[still]] = True
+        bad = nxt
     n_bad = int(bad.sum())
     if n_bad:
+        # last resort: tiled brute force for the residual handful
         if verbose or n_bad > Q // 10:
             print(f"knn_adaptive: brute-force repair of {n_bad}/{Q} queries "
                   f"(cell={cell:.4g}, rings={rings})")

@@ -76,9 +76,19 @@ def remove_outliers(points, filters, use_grid_above: int = 200_000):
     for k, factor in filters:
         cur = pts[alive]
         if cur.shape[0] > use_grid_above:
-            # checked adaptive grid search: auto-sizes cell/rings/cap for the
-            # requested k and retries on drop/coverage violations
-            mask = _outliers_from_adaptive_knn(cur, k, factor)
+            from dataset_pipeline_tpu import native
+
+            out_n = native.grid_knn(np.asarray(cur), np.asarray(cur), k + 1)
+            if out_n is not None:
+                # exact threaded host kNN (handles the reference cleaner's
+                # k=270 at multi-million-point scale)
+                mean_dist, local_mean = _filter_from_knn(
+                    jnp.asarray(out_n[0]), jnp.asarray(out_n[1]))
+                mask = mean_dist <= local_mean * factor
+            else:
+                # checked adaptive grid search: auto-sizes cell/rings/cap for
+                # the requested k and retries on drop/coverage violations
+                mask = _outliers_from_adaptive_knn(cur, k, factor)
         else:
             mask = local_statistical_outliers_bruteforce(cur, k, factor)
         alive = alive[np.asarray(mask)]

@@ -122,21 +122,26 @@ BRUTEFORCE_NEIGHBOR_LIMIT = 200_000
 
 def _neighbor_candidates(points: np.ndarray, cand: int) -> np.ndarray:
     """(N, cand) nearest-neighbor candidate indices (self excluded), -1 for
-    missing slots. Brute force (exact, MXU distance matrix) for small levels;
-    voxel-grid kNN with an adaptive cell size for production-scale levels
-    (the reference uses a PCL KdTree, ``opt/problem.cc:706-786``; a bounded
-    uniform grid is the array-first equivalent)."""
+    missing slots. Production-scale levels use the native threaded grid-kNN
+    (exact expanding-ring search, ``native/gridder.cc:grid_knn`` — the host
+    counterpart of the reference's PCL KdTree, ``opt/problem.cc:706-786``);
+    small levels use the tiled MXU brute force. ``knn_adaptive`` is the
+    device-only fallback when no compiler is available."""
     n = len(points)
-    pts = jnp.asarray(points, jnp.float32)
-    if n <= BRUTEFORCE_NEIGHBOR_LIMIT:
-        _, idx = knn_bruteforce(pts, pts, min(cand + 1, n))
-        idx = np.asarray(idx)
-    else:
+    pts_np = np.ascontiguousarray(points, np.float32)
+    if n > BRUTEFORCE_NEIGHBOR_LIMIT:
+        from dataset_pipeline_tpu import native
+
+        out = native.grid_knn(pts_np, pts_np, min(cand, n - 1), skip_self=True)
+        if out is not None:
+            return out[1]
         from dataset_pipeline_tpu.ops.knn import knn_adaptive
 
-        # checked adaptive grid search (auto cell size / ring count / per-cell
-        # cap with drop detection)
-        _, idx = knn_adaptive(pts, pts, min(cand + 1, n), chunk=4096)
+        _, idx = knn_adaptive(pts_np, pts_np, min(cand + 1, n), chunk=4096)
+        idx = np.asarray(idx)
+    else:
+        _, idx = knn_bruteforce(jnp.asarray(pts_np), jnp.asarray(pts_np),
+                                min(cand + 1, n))
         idx = np.asarray(idx)
     # drop self matches (first column in the exact case; anywhere for grid)
     self_col = idx == np.arange(n)[:, None]

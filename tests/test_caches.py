@@ -65,8 +65,10 @@ def test_photo_level_cache_roundtrip(tmp_path):
 
 
 def test_neighbor_selection_scales_to_1m_points():
-    """10^6-point level processed in seconds via the adaptive grid path
-    (VERDICT r1 item 3): vectorized seeded choice, no Python point loop."""
+    """10^6-point level processed in seconds via the native threaded
+    grid-kNN (``native/gridder.cc:grid_knn``): exact expanding-ring
+    search, no all-N brute force anywhere. Observed ~10s on the 2-core
+    CI box (was 475s via the device grid path); budget leaves >3x."""
     import time
 
     from dataset_pipeline_tpu.photometric.problem import determine_point_neighbors
@@ -81,6 +83,37 @@ def test_neighbor_selection_scales_to_1m_points():
     assert nbr.shape == (n, 5)
     assert (nbr >= 0).all() and (nbr < n).all()
     assert not (nbr == np.arange(n)[:, None]).any()
-    # vectorized path budget: generous bound for CI CPU (reference: KdTree
-    # over millions of points takes minutes); mostly documents the scale
-    assert dt < 180.0, f"neighbor selection too slow: {dt:.1f}s"
+    print(f"\n1M-point neighbor selection: {dt:.1f}s")
+    assert dt < 60.0, f"neighbor selection too slow: {dt:.1f}s"
+
+
+def test_native_knn_smoke_10m_points():
+    """Production-scale smoke: exact kNN (k=26, the reference's 25
+    candidates + self) over 10^7 points. The reference's scans reach
+    28M points (``README.md:303-306``); observed ~60s here, so 28M is
+    ~3 min on this 2-core box — plausibly reachable. Time is logged."""
+    import time
+
+    from dataset_pipeline_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable (no compiler)")
+    rng = np.random.RandomState(1)
+    n = 10_000_000
+    pts = (rng.rand(n, 3).astype(np.float32) * 40.0)
+    t0 = time.time()
+    d2, idx = native.grid_knn(pts, pts, 26, skip_self=True)
+    dt = time.time() - t0
+    print(f"\n10M-point exact kNN k=26: {dt:.1f}s")
+    assert idx.shape == (n, 26)
+    assert (idx[:, :5] >= 0).all()
+    assert not (idx == np.arange(n)[:, None]).any()
+    # exactness spot check against brute force on a random subset
+    for qi in rng.choice(n, 5, replace=False):
+        d = np.sum((pts - pts[qi]) ** 2, -1).astype(np.float64)
+        d[qi] = np.inf
+        ref = np.sort(d)[:26]
+        np.testing.assert_allclose(np.sort(d2[qi]), ref, rtol=1e-4, atol=1e-9)
+    assert dt < 240.0, f"10M kNN too slow: {dt:.1f}s"
