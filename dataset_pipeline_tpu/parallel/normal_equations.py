@@ -19,13 +19,18 @@ from dataset_pipeline_tpu.models.lie import quat_rotate
 
 
 def sharded_icp_hb(mesh: Mesh, q, t, ps, ns, pt, nt, src_id, tgt_id, w,
-                   num_clouds: int, axis: str = "data"):
+                   num_clouds: int, axis=None):
     """ICP H,b,cost with correspondence rows sharded over ``mesh``.
 
     Row counts must be divisible by the mesh size (pad with w=0 rows).
-    Returns replicated (H (6C,6C), b (6C,), cost).
+    ``axis`` defaults to ALL mesh axes — on a 2-axis ("hosts","devices")
+    mesh the psum spans DCN and ICI (SURVEY.md §5). Returns replicated
+    (H (6C,6C), b (6C,), cost).
     """
     C = num_clouds
+    if axis is None:
+        names = tuple(mesh.axis_names)
+        axis = names[0] if len(names) == 1 else names
 
     def local_hb(q, t, ps, ns, pt, nt, sid, tid, w):
         gps = quat_rotate(q[sid], ps) + t[sid]

@@ -198,20 +198,26 @@ def gradient_filter_mask(intensities: np.ndarray, neighbors: np.ndarray,
 
 
 def build_photo_level(level: PointLevel, k: int = DEFAULT_NEIGHBOR_COUNT,
-                      apply_gradient_filter: bool = True, seed: int = 0) -> Optional[PhotoLevel]:
+                      apply_gradient_filter: bool = True, seed: int = 0,
+                      num_candidates: int = DEFAULT_NEIGHBOR_CANDIDATES,
+                      min_mean_diff: float = DEFAULT_MIN_MEAN_INTENSITY_DIFFERENCE,
+                      ) -> Optional[PhotoLevel]:
     pts = level.points
     inten = level.intensities
     scans = level.scan_indices
     if len(pts) <= k + 1:
         return None
-    neighbors = determine_point_neighbors(pts, scans, k=k, seed=seed)
+    neighbors = determine_point_neighbors(pts, scans, k=k,
+                                          num_candidates=num_candidates, seed=seed)
     if apply_gradient_filter:
-        keep = gradient_filter_mask(inten, neighbors)
+        keep = gradient_filter_mask(inten, neighbors, min_mean_diff)
         if keep.sum() < k + 1:
             return None
         # restrict to kept points; remap neighbors by re-picking among kept
         pts, inten, scans = pts[keep], inten[keep], scans[keep]
-        neighbors = determine_point_neighbors(pts, scans, k=k, seed=seed + 1)
+        neighbors = determine_point_neighbors(pts, scans, k=k,
+                                              num_candidates=num_candidates,
+                                              seed=seed + 1)
     desc = inten[neighbors] - inten[:, None]
     return PhotoLevel(
         jnp.asarray(pts), jnp.asarray(inten), jnp.asarray(scans),

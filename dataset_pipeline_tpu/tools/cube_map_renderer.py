@@ -50,11 +50,17 @@ def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int):
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-c", "--cloud", required=True, help="input PLY (scan frame)")
     p.add_argument("-o", "--output", required=True, help="output base path")
     p.add_argument("--size", type=int, required=True, help="face side length in px")
+    # shared pipeline knob set (opt/parameters.h): every tool accepts
+    # the identical flags so one knob set drives the whole pipeline
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)  # noqa: F841 (dump/consume)
 
     cloud = read_ply(args.cloud)
     print(f"loaded {len(cloud)} points")

@@ -64,12 +64,13 @@ def _colormap(values, vmin, vmax):
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scan_alignment_path", required=True)
     p.add_argument("--state_path", required=True)
     p.add_argument("--image_base_path", default="")
     p.add_argument("--output_folder_path", required=True)
-    p.add_argument("--splat_radius", type=float, default=0.03)
     p.add_argument("--modes", default="depth,overlay,occlusion",
                    help="comma list: depth,overlay,occlusion,scan")
     p.add_argument("--localize_image", default="",
@@ -82,8 +83,11 @@ def main(argv=None) -> int:
     p.add_argument("--transfer_target", default="",
                    help="target image name for label transfer")
     p.add_argument("--transfer_eval_obs", action="store_true")
-    p.add_argument("--occlusion_depth_threshold", type=float, default=0.01)
+    # identical knob set to ImageRegistrator (README.md:770-771; the
+    # reference passes the same opt::Parameters flags to both tools)
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)
 
     from PIL import Image
 
@@ -140,7 +144,7 @@ def main(argv=None) -> int:
                               (scam.height, scam.width))
         if smask is None:
             raise SystemExit(f"no mask found for source image {src.name}")
-        radii = jnp.full((len(pts),), args.splat_radius, jnp.float32)
+        radii = jnp.full((len(pts),), params.splat_radius, jnp.float32)
         s_occ = np.asarray(render_splats_depth(
             spose.apply(pts_j), radii, scam.width, scam.height,
             scam.fx, scam.fy, scam.cx, scam.cy))
@@ -153,7 +157,7 @@ def main(argv=None) -> int:
             pts, scam, spose, smask, s_occ, tcam, tpose, t_occ,
             existing_target_mask=existing,
             transfer_eval_obs=args.transfer_eval_obs,
-            occlusion_depth_threshold=args.occlusion_depth_threshold)
+            occlusion_depth_threshold=params.occlusion_depth_threshold)
         out_path = image_mask_path(args.image_base_path, tgt.name)
         save_mask(out_path, merged)
         print(f"label transfer {src.name} -> {tgt.name}: wrote {out_path}")
@@ -187,7 +191,7 @@ def main(argv=None) -> int:
                   if (pl := build_photo_level(lv, seed=i)) is not None]
         problem = PhotoProblem(
             groups=groups, levels=levels, occlusion_points=pts_j,
-            occlusion_radius=args.splat_radius, scale_count=global_count)
+            occlusion_radius=params.splat_radius, scale_count=global_count)
         cost_opt = PhotometricOptimizer(problem, optimize_intrinsics=False,
                                         variable_weight=1.0)
         cost_opt.current_scale = 0  # display at full resolution
@@ -212,7 +216,7 @@ def main(argv=None) -> int:
                 os.path.join(args.output_folder_path, f"{base}.depth.png"))
         if "occlusion" in modes:
             od = np.asarray(render_splats_depth(
-                p_cam, jnp.full((len(pts),), args.splat_radius, jnp.float32),
+                p_cam, jnp.full((len(pts),), params.splat_radius, jnp.float32),
                 cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy))
             Image.fromarray(_colormap(od, vmin, vmax)).save(
                 os.path.join(args.output_folder_path, f"{base}.occlusion.png"))

@@ -115,6 +115,8 @@ def render_occlusion_depth(camera: cm.Camera, pose: SE3, occlusion_points,
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scan_alignment_path", required=True)
     p.add_argument("--occlusion_mesh_path", default="")
@@ -124,13 +126,14 @@ def main(argv=None) -> int:
     p.add_argument("--output_folder_path", required=True)
     p.add_argument("--rotate_first_scan_upright", action="store_true")
     p.add_argument("--scan_point_radius", type=int, default=2)
-    p.add_argument("--splat_radius", type=float, default=DEFAULT_SPLAT_RADIUS)
     p.add_argument("--write_point_cloud", type=int, default=1)
     p.add_argument("--write_depth_maps", type=int, default=1)
     p.add_argument("--write_occlusion_depth", type=int, default=0)
     p.add_argument("--write_scan_renderings", type=int, default=0)
     p.add_argument("--compress_depth_maps", type=int, default=0)
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)
 
     scans = load_scan_set(args.scan_alignment_path)
     state = load_colmap_state(args.state_path, scans.scale_factor)
@@ -210,7 +213,7 @@ def main(argv=None) -> int:
     for im in images:
         cam = state.cameras[im.camera_id]
         pose = image_pose(im)
-        od = render_occlusion_depth(cam, pose, occl_points, args.splat_radius,
+        od = render_occlusion_depth(cam, pose, occl_points, params.splat_radius,
                                     occlusion_mesh=occlusion_mesh)
         occl_cache[im.image_id] = od
         em = None

@@ -44,6 +44,8 @@ def _local_normals(points: np.ndarray, k: int, grid_above: int = 200_000) -> np.
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-i", "--input", required=True, help="input .mlp")
     p.add_argument("-o", "--output", required=True, help="output .mlp")
@@ -57,7 +59,11 @@ def main(argv=None) -> int:
     p.add_argument("--number_of_scales", type=int, default=1)
     p.add_argument("--downscale_step", type=int, default=4)
     p.add_argument("--search_distance_increase_factor_per_scale", type=float, default=2.0)
+    # shared pipeline knob set (opt/parameters.h): every tool accepts
+    # the identical flags so one knob set drives the whole pipeline
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)  # noqa: F841 (dump/consume)
 
     optimize_labels = _parse_label_set(args.objects_to_optimize)
     ignore_labels = _parse_label_set(args.objects_to_ignore)

@@ -174,6 +174,8 @@ def write_debug_colored_cloud(path: str, opt: PhotometricOptimizer,
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scan_alignment_path", required=True)
     p.add_argument("--occlusion_mesh_path", default="")
@@ -189,13 +191,10 @@ def main(argv=None) -> int:
                         "continue from its poses (image_registrator.cc:95-101)")
     p.add_argument("--target_scaling_factor", type=float, default=1.0,
                    help="stop after optimizing this scaling factor")
-    p.add_argument("--splat_radius", type=float, default=DEFAULT_SPLAT_RADIUS)
     p.add_argument("--camera_ids_to_ignore", default="")
     p.add_argument("--fix_intrinsics", action="store_true")
     p.add_argument("--multi_res_point_cloud_directory_path", default="",
                    help="cache dir for the multi-resolution point cloud")
-    p.add_argument("--fixed_residuals_weight", type=float, default=1.0)
-    p.add_argument("--variable_residuals_weight", type=float, default=1.0)
     p.add_argument("--write_debug_point_clouds", action="store_true",
                    help="write initial_point_cloud.ply colored from the "
                         "initial state (image_registrator.cc:200-215)")
@@ -204,7 +203,16 @@ def main(argv=None) -> int:
                         "point views and persist them next to the multi-res "
                         "cloud cache (observations_cache.cc; enabled after "
                         "the first scale in image_registrator.cc:230-235)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the photometric H,b/visibility/cost kernels "
+                        "over a device mesh of this many devices (0 = all "
+                        "available); images are the sharded axis "
+                        "(parallel/photometric.py)")
+    # the shared optimization knob set (opt/parameters.h); DatasetInspector
+    # accepts the identical flags (README.md:770-771)
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)
 
     ignore = {int(v) for v in args.camera_ids_to_ignore.split(",") if v}
     with GLOBAL_TIMER.stage("load_scans"):
@@ -332,6 +340,9 @@ def main(argv=None) -> int:
         with GLOBAL_TIMER.stage("build_multiscale_cloud"):
             levels_raw = build_multiscale_cloud(
                 all_pts, all_cols, scan_idx, all_poses, largest, global_count,
+                min_radius_bias=params.min_radius_bias,
+                merge_distance_factor=params.merge_distance_factor,
+                occlusion_threshold=params.occlusion_depth_threshold,
             )
         if args.multi_res_point_cloud_directory_path:
             save_multiscale_cache(
@@ -351,7 +362,10 @@ def main(argv=None) -> int:
         levels = []
         with GLOBAL_TIMER.stage("determine_point_neighbors"):
             for i, lv in enumerate(levels_raw):
-                pl = build_photo_level(lv, seed=i)
+                pl = build_photo_level(
+                    lv, k=params.point_neighbor_count, seed=i,
+                    num_candidates=params.point_neighbor_candidate_count,
+                    min_mean_diff=params.min_mean_intensity_difference_for_points)
                 if pl is not None:
                     levels.append(pl)
         if args.multi_res_point_cloud_directory_path:
@@ -363,15 +377,31 @@ def main(argv=None) -> int:
         groups=groups,
         levels=levels,
         occlusion_points=jnp.asarray(occl.astype(np.float32)),
-        occlusion_radius=args.splat_radius,
+        occlusion_radius=params.splat_radius,
         scale_count=global_count,
         occlusion_mesh=occlusion_mesh,
         rig_extrinsics=rig_extrinsics,
+        max_valid_intensity=params.maximum_valid_intensity,
+        occlusion_depth_threshold=params.occlusion_depth_threshold,
     )
+    mesh = None
+    if args.devices == 0 or args.devices > 1:
+        import jax
+
+        from dataset_pipeline_tpu.parallel.mesh import (
+            initialize_distributed, make_data_mesh,
+        )
+
+        initialize_distributed()  # no-op unless a coordinator is configured
+        n = args.devices or len(jax.devices())
+        mesh = make_data_mesh(n)
+        print(f"sharding photometric kernels over {n} device(s)")
     opt = PhotometricOptimizer(
         problem, optimize_intrinsics=not args.fix_intrinsics,
-        fixed_weight=args.fixed_residuals_weight,
-        variable_weight=args.variable_residuals_weight,
+        fixed_weight=params.fixed_residuals_weight,
+        variable_weight=params.variable_residuals_weight,
+        depth_weight=params.depth_residuals_weight,
+        mesh=mesh,
     )
 
     os.makedirs(args.output_folder_path, exist_ok=True)
@@ -389,13 +419,16 @@ def main(argv=None) -> int:
     def on_scale_done(o: PhotometricOptimizer, report):
         factor = 2.0 ** (-o.current_scale)
         out = os.path.join(args.output_folder_path, f"scale_{factor:g}_state")
-        export_state(out, o, state, {
+        # full parameter dump per scale state, like the reference's
+        # metadata.txt (opt/parameters.h:105-127 OutputValues)
+        meta = {
             "optimum_cost": report.optimum_cost,
             "iterations": report.iterations,
             "image_scale": o.current_scale,
-            "splat_radius": args.splat_radius,
             "scale_factor": scans.scale_factor,
-        })
+        }
+        meta.update(dict(line.split(" ", 1) for line in params.dump().splitlines()))
+        export_state(out, o, state, meta)
         if rig_configs:
             # io::ExportRigs (colmap_model.cc:485-527): re-emit the rig
             # camera/prefix config next to every exported state

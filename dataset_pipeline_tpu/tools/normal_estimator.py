@@ -21,6 +21,8 @@ from dataset_pipeline_tpu.ops.normals import estimate_normals
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-i", "--input", required=True, help="scan_alignment.mlp")
     p.add_argument("-o", "--output", required=True, help="merged output PLY")
@@ -30,7 +32,11 @@ def main(argv=None) -> int:
                         "otherwise derived from data")
     p.add_argument("--grid_above", type=int, default=200_000,
                    help="use the voxel-grid search above this many points")
+    # shared pipeline knob set (opt/parameters.h): every tool accepts
+    # the identical flags so one knob set drives the whole pipeline
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)  # noqa: F841 (dump/consume)
 
     scans = load_scan_set(args.input)
     all_pos, all_normals, all_colors = [], [], []

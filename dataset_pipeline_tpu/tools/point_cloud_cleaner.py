@@ -29,6 +29,8 @@ def _subset(pc: PointCloud, mask: np.ndarray) -> PointCloud:
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--in", dest="input", required=True, help="input PLY")
     p.add_argument(
@@ -39,7 +41,11 @@ def main(argv=None) -> int:
         help="neighbor count and distance factor; repeatable, applied in order",
     )
     p.add_argument("--out_prefix", default=None, help="output prefix (default: input path)")
+    # shared pipeline knob set (opt/parameters.h): every tool accepts
+    # the identical flags so one knob set drives the whole pipeline
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)  # noqa: F841 (dump/consume)
 
     filters = []
     for f in args.filter:

@@ -104,6 +104,8 @@ def estimate_scale_and_poses(model: cio.ColmapModel, sfm_image_path: str,
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-s", "--sfm_model_path", required=True, help="COLMAP text model dir")
     p.add_argument("-si", "--sfm_image_path", required=True,
@@ -111,7 +113,11 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--scans_path", required=True, help="dir with scan PLYs")
     p.add_argument("-o", "--output_path", required=True)
     p.add_argument("--cube_map_face_camera_id", type=int, default=1)
+    # shared pipeline knob set (opt/parameters.h): every tool accepts
+    # the identical flags so one knob set drives the whole pipeline
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)  # noqa: F841 (dump/consume)
 
     model = cio.read_model(args.sfm_model_path, read_points=True)
     scale, scan_poses, count = estimate_scale_and_poses(

@@ -89,13 +89,19 @@ def create_splats(points: np.ndarray, normals: np.ndarray,
 
 
 def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--point_normal_cloud_path", required=True)
     p.add_argument("--mesh_path", required=True)
     p.add_argument("--output_path", required=True)
     p.add_argument("--distance_threshold", type=float, default=0.02)
     p.add_argument("--max_splat_size", type=float, default=0.25)
+    # shared pipeline knob set (opt/parameters.h): every tool accepts
+    # the identical flags so one knob set drives the whole pipeline
+    Parameters().add_to_argparser(p)
     args = p.parse_args(argv)
+    params = Parameters.from_args(args)  # noqa: F841 (dump/consume)
 
     cloud = read_ply(args.point_normal_cloud_path)
     if cloud.normals is None:

@@ -176,11 +176,15 @@ def test_full_pipeline(tmp_path):
                           [MeshInfo("scene", "scan0.inliers.ply", np.eye(4))])
     from dataset_pipeline_tpu.tools.image_registrator import main as reg_main
 
+    # --devices 8: the registrator shard_maps its photometric kernels over
+    # the forced-8-device CPU mesh — the flagship multi-chip path reachable
+    # from the CLI (r2 weak item)
     assert reg_main(["--scan_alignment_path", f"{root}/scene.mlp",
                      "--image_base_path", f"{root}/images",
                      "--state_path", f"{root}/state",
                      "--output_folder_path", f"{root}/reg",
                      "--max_iterations", "15", "--fix_intrinsics",
+                     "--devices", "8",
                      "--write_debug_point_clouds"]) == 0
     dbg = read_ply(f"{root}/reg/initial_point_cloud.ply")
     assert dbg.colors is not None and (dbg.colors.sum(1) > 0).sum() > 1000

@@ -104,3 +104,43 @@ def test_joint_ba_step_reduces_synthetic_cost():
     # applying -x zeroes the residual
     new_r = r - rows @ x
     assert np.linalg.norm(new_r) < 1e-2 * np.linalg.norm(r)
+
+
+def test_host_device_mesh_icp_hb_matches_single_device():
+    """2-axis ("hosts","devices") mesh (SURVEY.md §5 multi-host backend):
+    the psum spans both axes (DCN across hosts + ICI within) and must give
+    the same H,b as the single-device accumulation. Runs as a 2x4 split of
+    the forced-8-device CPU platform."""
+    from dataset_pipeline_tpu.icp.point_to_plane import _icp_hb_cost
+    from dataset_pipeline_tpu.parallel.mesh import make_host_device_mesh
+
+    C = 2
+    m = 8 * 32
+    ps = RNG.randn(m, 3).astype(np.float32)
+    ns = RNG.randn(m, 3).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    pt = ps + 0.01 * RNG.randn(m, 3).astype(np.float32)
+    nt = ns.copy()
+    sid = RNG.randint(0, C, m).astype(np.int32)
+    tid = ((sid + 1) % C).astype(np.int32)
+    w = np.ones(m, np.float32)
+    q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (C, 1))
+    t = np.zeros((C, 3), np.float32)
+
+    H1, b1, c1 = _icp_hb_cost(*(jnp.asarray(x) for x in (q, t, ps, ns, pt, nt, sid, tid, w)), C)
+
+    mesh = make_host_device_mesh(2, 4)
+    assert mesh.devices.shape == (2, 4)
+    args = [shard_rows(mesh, jnp.asarray(x)) for x in (ps, ns, pt, nt, sid, tid, w)]
+    H2, b2, c2 = sharded_icp_hb(mesh, replicated(mesh, jnp.asarray(q)),
+                                replicated(mesh, jnp.asarray(t)), *args, C)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-5)
+
+
+def test_initialize_distributed_noop_single_process():
+    """Without a coordinator the multi-host entry is a safe no-op."""
+    from dataset_pipeline_tpu.parallel.mesh import initialize_distributed
+
+    assert initialize_distributed() is False

@@ -181,6 +181,130 @@ def test_hb_assembly_matches_numeric_reconstruction():
     assert abs(float(cost) - rhon) < 0.01 * max(abs(rhon), 1.0)
 
 
+def _linear_scale_pyramid(A=60.0, B=0.8, C=0.5, D=12.0):
+    """Hand-built pyramid where level l equals A + B*x0 + C*y0 + D*l in
+    BASE-level coordinates (x0 = 2^l x_l + (2^l-1)/2, the ``x1=2(x0+0.5)-0.5``
+    convention, ``interpolate_trilinear.h``). Trilinear sampling of it is
+    EXACTLY A + B*x0 + C*y0 + D*s — linear in the scale — so central
+    differences of the scale-carrying chain are exact."""
+    pyr = []
+    for l in range(SCALES):
+        h, w = H >> l, W >> l
+        yl, xl = np.mgrid[0:h, 0:w].astype(np.float32)
+        x0 = (2 ** l) * xl + (2 ** l - 1) * 0.5
+        y0 = (2 ** l) * yl + (2 ** l - 1) * 0.5
+        pyr.append(jnp.asarray(A + B * x0 + C * y0 + D * l))
+    return pyr
+
+
+def test_dynamic_scale_jacobian_numerical_twin():
+    """The image-scale Jacobian row (``dynamic_scale=True``): the analytic
+    derivative of ``_intensity_ok`` — which anchors the VALUE at the frozen
+    observation scale but carries d(intensity)/d(scale) * d(scale)/d(state)
+    through the footprint chain — must match central differences of the
+    explicitly scale-carrying evaluation (the reference's third chain-rule
+    term, ``intrinsics_and_pose_optimizer.cc:1026-1070``)."""
+    from dataset_pipeline_tpu.photometric.optimizer import (
+        _footprint_scale,
+        _intensity_ok,
+    )
+
+    cam, _, pts, pose, obs, nbr, desc = _scene(
+        lambda x, y: 60 + 0.8 * x + 0.5 * y, seed=5)
+    pyr = _linear_scale_pyramid()
+    params = jnp.asarray(PARAMS)
+    radius = 0.05
+
+    def inten_dyn(eps, prm):
+        p2 = SE3.exp(eps).compose(SE3(pose.q, pose.t))
+        val, _ = _intensity_ok(cam, prm, p2, pts, pyr, obs, radius,
+                               dynamic_scale=True)
+        return val
+
+    z6 = jnp.zeros(6, jnp.float32)
+    J_pose, J_int = jax.jacfwd(inten_dyn, argnums=(0, 1))(z6, params)
+
+    # numeric twin: intensity sampled at the scale the footprint formula
+    # assigns under the PERTURBED state (value-anchored at obs)
+    fp0 = _footprint_scale(cam, params, pose, pts, radius)
+
+    def f(eps, prm):
+        p2 = SE3.exp(eps).compose(SE3(pose.q, pose.t))
+        s = obs + _footprint_scale(cam, prm, p2, pts, radius) - fp0
+        from dataset_pipeline_tpu.photometric.optimizer import (
+            _point_intensities,
+        )
+        inten, _ = _point_intensities(cam, prm, p2.q, p2.t, pts, pyr, s)
+        return inten
+
+    # larger steps than the static tests: the footprint probe's pixel
+    # difference is cancellation-prone in f32, so central-difference noise
+    # scales like 1/h (truncation stays tiny on the linear pyramid)
+    Jn_pose = _numeric_jac(lambda e: f(e, params), np.zeros(6), [8e-3] * 6)
+    Jn_int = _numeric_jac(lambda p: f(z6, p), PARAMS, [3e-2] * 4)
+    a = np.asarray(J_pose, np.float64)
+    assert np.abs(a - Jn_pose).max() < 0.05 + 0.01 * np.abs(Jn_pose).max()
+    a = np.asarray(J_int, np.float64)
+    assert np.abs(a - Jn_int).max() < 0.05 + 0.01 * np.abs(Jn_int).max()
+
+    # the scale row genuinely contributes: with the static chain the pose
+    # Jacobian must differ (translation along z changes the footprint)
+    def inten_static(eps, prm):
+        p2 = SE3.exp(eps).compose(SE3(pose.q, pose.t))
+        val, _ = _intensity_ok(cam, prm, p2, pts, pyr, obs, radius,
+                               dynamic_scale=False)
+        return val
+
+    J_static = jax.jacfwd(inten_static, argnums=0)(z6, params)
+    diff = np.abs(np.asarray(J_pose) - np.asarray(J_static)).max()
+    assert diff > 1.0, f"scale row contributed nothing: {diff}"
+
+
+def test_hb_dynamic_scale_matches_numeric_reconstruction():
+    """``_hb_one(..., dynamic_scale=True)`` — the production default path —
+    reconstructed from numerical Jacobians of the scale-carrying residual
+    chain (closing the r2 blind spot: the twin sees the scale row)."""
+    from dataset_pipeline_tpu.photometric.optimizer import _footprint_scale
+
+    cam, _, pts, pose, obs, nbr, desc = _scene(
+        lambda x, y: 60 + 0.8 * x + 0.5 * y, seed=6)
+    pyr = _linear_scale_pyramid()
+    n = pts.shape[0]
+    params = jnp.asarray(PARAMS)
+    mask = jnp.ones(n, bool)
+    radius = 0.05
+    Hm, bm, cost, count = _hb_one(cam, params, pose.q, pose.t, pts, nbr, desc,
+                                  pyr, obs, mask, scale_count=SCALES,
+                                  optimize_intrinsics=True, radius=radius,
+                                  dynamic_scale=True)
+    assert int(count) == n
+
+    fp0 = _footprint_scale(cam, params, pose, pts, radius)
+
+    def res(eps, prm):
+        p2 = SE3.exp(eps).compose(SE3(pose.q, pose.t))
+        s = obs + _footprint_scale(cam, prm, p2, pts, radius) - fp0
+        inten, _ = _point_intensities(cam, prm, p2.q, p2.t, pts, pyr, s)
+        return (inten[nbr] - inten[:, None]) - desc
+
+    z6 = jnp.zeros(6, jnp.float32)
+    r0 = np.asarray(res(z6, params), np.float64)
+    Jn_pose = _numeric_jac(lambda e: res(e, params), np.zeros(6), [8e-3] * 6)
+    Jn_int = _numeric_jac(lambda p: res(z6, p), PARAMS, [3e-2] * 4)
+    rows = np.concatenate([Jn_int, Jn_pose], -1).reshape(n * 2, 10)
+
+    norm = np.sqrt(np.maximum((r0 ** 2).sum(-1), 1e-20))
+    w = np.asarray(huber_weight(jnp.asarray(norm), DEFAULT_COLOR_HUBER), np.float64)
+    sw = np.sqrt(np.repeat(w, 2))
+    rows_w = rows * sw[:, None]
+    Hn = rows_w.T @ rows_w
+    bn = rows_w.T @ (r0.reshape(-1) * sw)
+
+    scale = np.abs(Hn).max()
+    assert np.abs(np.asarray(Hm, np.float64) - Hn).max() < 0.02 * scale
+    assert np.abs(np.asarray(bm, np.float64) - bn).max() < 0.02 * max(np.abs(bn).max(), 1.0)
+
+
 def test_check_for_optimum_numerically():
     """Runtime validator (``CheckForOptimumNumerically``, ``.cc:261-383``):
     at a perturbed state it must flag an improving direction, and with
