@@ -1,13 +1,30 @@
-"""Benchmark: ICP Gauss-Newton inner-iteration throughput on one chip.
+"""Benchmark matrix on one chip. Prints ONE JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline metric: ICP inner-LM throughput (correspondences x iterations / s)
+using the moment-matrix formulation (``icp/moments.py``): ONE Pallas pass
+accumulates the 48x48 monomial Gram per correspondence group, after which
+every LM iteration (H, b, cost included) is O(1) host f64 math.  This is the
+schedule the real engine runs per outer ICP iteration
+(``/root/reference/src/icp/icp_point_to_plane_impl.h:217-291`` re-accumulates
+per lambda trial; here the accumulation happens once).
 
-Measures full inner LM iterations (H,b accumulation over M=1M symmetric
-point-to-plane correspondences + cost eval + host solve) per second on the
-default JAX device. ``vs_baseline`` compares against a vectorized NumPy CPU
-implementation of the same math measured in-process (a stand-in for the
-reference's single-node CPU loop, ``icp_point_to_plane_impl.h:115-293``,
-until the C++ reference numbers are measured on shared data).
+``vs_baseline`` compares against a vectorized NumPy implementation of the
+reference's per-iteration row accumulation running the SAME 20-iteration
+schedule (stand-in for the C++ single-node loop until shared-data reference
+numbers exist).
+
+Additional metrics (the BASELINE.md matrix), reported in the "metrics" dict:
+  photometric_hb_obs_per_s   — batched photometric H,b accumulation
+                               (``photometric/optimizer.py:_hb_batch``)
+  cubemap_2048_faces_per_s   — 2048^2 cube-map faces/s on a 10M-point scan
+                               (``/root/reference/src/exe/cube_map_renderer.cc:238-258``)
+  gt_depth_frames_per_s      — occlusion splat render + min-z GT depth per
+                               frame, 4M points at 3072x2048
+                               (``/root/reference/src/exe/ground_truth_creator.cc:148-216``)
+  registrator_e2e_s          — end-to-end two-frame ImageRegistrator
+                               optimization (10 LM iterations/scale, 2 scales)
+  icp_moment_pass_gbps       — effective HBM bandwidth of the moment kernel
+                               + hbm_util_pct vs the chip's peak
 """
 
 import json
@@ -15,28 +32,50 @@ import time
 
 import numpy as np
 
+ICP_M = 1_000_000
+ICP_ITERS = 20
 
-def _problem(m, num_clouds=2, seed=0):
+HBM_PEAK_GBPS = {
+    # device_kind substring -> peak HBM GB/s
+    "v6": 1640.0,
+    "v5p": 2765.0,
+    "v5e": 819.0,
+    "v5": 819.0,
+    "v4": 1228.0,
+    "v3": 900.0,
+}
+
+
+def _icp_problem(m, seed=0):
+    """Two correspondence groups (pair 0->1 and 1->0), as real ICP emits."""
     rng = np.random.RandomState(seed)
+    half = m // 2
+    groups = []
+    for _ in range(2):
+        ps = rng.randn(half, 3).astype(np.float32)
+        ns = rng.randn(half, 3).astype(np.float32)
+        ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+        pt = ps + 0.01 * rng.randn(half, 3).astype(np.float32)
+        nt = ns.copy()
+        groups.append({"ps": ps, "ns": ns, "pt": pt, "nt": nt,
+                       "w": np.ones(half, np.float32)})
+    pairs = [(0, 1), (1, 0)]
+    return groups, pairs
+
+
+def bench_numpy_cpu_schedule(m=200_000, iters=3):
+    """Reference-style per-iteration row accumulation, time per iteration."""
+    C = 2
+    rng = np.random.RandomState(0)
     ps = rng.randn(m, 3).astype(np.float32)
     ns = rng.randn(m, 3).astype(np.float32)
     ns /= np.linalg.norm(ns, axis=1, keepdims=True)
     pt = ps + 0.01 * rng.randn(m, 3).astype(np.float32)
     nt = ns.copy()
-    sid = rng.randint(0, num_clouds, m).astype(np.int32)
-    tid = ((sid + 1) % num_clouds).astype(np.int32)
-    w = np.ones(m, np.float32)
-    return ps, ns, pt, nt, sid, tid, w
-
-
-def bench_numpy_cpu(m=200_000, iters=3):
-    C = 2
-    ps, ns, pt, nt, sid, tid, w = _problem(m)
-    q = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (C, 1))
-    t = np.zeros((C, 3), np.float32)
+    sid = rng.randint(0, C, m).astype(np.int32)
+    tid = ((sid + 1) % C).astype(np.int32)
 
     def one_iter():
-        # identity poses: global = local
         diff = pt - ps
         r1 = np.sum(ns * diff, -1)
         r2 = -np.sum(nt * diff, -1)
@@ -58,68 +97,300 @@ def bench_numpy_cpu(m=200_000, iters=3):
     t0 = time.time()
     for _ in range(iters):
         one_iter()
-    dt = (time.time() - t0) / iters
-    return m / dt  # correspondences per second (one full iteration)
+    per_iter = (time.time() - t0) / iters
+    return m / per_iter  # corr*iters/s for the per-iteration scheme
 
 
-def bench_tpu(m=1_000_000, iters=20):
-    """Fused Gauss-Newton ICP iteration: Pallas H,b,cost accumulation +
-    on-device damped solve + pose update, sequentially dependent (each
-    iteration consumes the previous poses). Uses the fully fused kernel
-    (pose transform + Jacobians in-kernel); the packed correspondence
-    tensor is pose-independent and packed once, as in real ICP inner
-    iterations."""
+def bench_icp_moments(m=ICP_M, iters=ICP_ITERS, reps=5):
+    """ONE device dispatch per outer ICP iteration: Pallas moment pass +
+    per-group f32 Gram reduction + the full ``iters``-step LM schedule as a
+    ``lax.scan`` (each step rebuilds H,b,cost from the moments in O(1)).
+    ``reps`` back-to-back dispatches amortize the host->device round-trip
+    latency, exactly as consecutive outer ICP iterations do."""
     import jax
     import jax.numpy as jnp
 
-    from dataset_pipeline_tpu.models.lie import SE3
-    from dataset_pipeline_tpu.ops.pallas_gn import (
-        icp_hb_cost_pallas_fused,
-        pack_icp_inputs,
+    from dataset_pipeline_tpu.icp.moments import (
+        hb_cost_from_moments_jax,
+        pack_group_data,
     )
+    from dataset_pipeline_tpu.models.lie import SE3
+    from dataset_pipeline_tpu.ops.pallas_gn import icp_moment_pallas
 
+    groups, pairs = _icp_problem(m)
+    chunk = 16384
+    data_np, chunk_gid = pack_group_data(groups, chunk)
+    data = jnp.asarray(data_np)
+    gid = jnp.asarray(chunk_gid)
     C = 2
-    ps, ns, pt, nt, sid, tid, w = (jnp.asarray(x) for x in _problem(m))
-    q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (C, 1))
-    t = jnp.zeros((C, 3), jnp.float32)
-    data = pack_icp_inputs(ps, ns, pt, nt, w)
-
-    def gn_step(carry, _):
-        q, t = carry
-        H, b, cost = icp_hb_cost_pallas_fused(q, t, data, sid, tid, C,
-                                              chunk=16384)
-        n_var = 6 * (C - 1)
-        Hv = H[6:, 6:] + 0.1 * jnp.eye(n_var, dtype=jnp.float32)
-        x = jnp.linalg.solve(Hv, b[6:])
-        delta = jnp.concatenate([jnp.zeros(6), -x]).reshape(C, 6)
-        upd = SE3.exp(delta).compose(SE3(q, t))
-        return (upd.q, upd.t), cost
+    q0 = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (C, 1))
+    t0_ = jnp.zeros((C, 3), jnp.float32)
 
     @jax.jit
-    def run_iters(q, t):
-        # sequentially dependent chain of full GN iterations, one dispatch
-        # (the real inner LM loop is exactly such a chain)
-        (qf, tf), costs = jax.lax.scan(gn_step, (q, t), None, length=iters)
+    def schedule(data, q, t):
+        parts = icp_moment_pallas(data, chunk=chunk)  # (grid, 48, 48)
+        P = jnp.zeros((len(groups), 48, 48), jnp.float32).at[gid].add(parts)
+
+        def step(carry, _):
+            q, t = carry
+            H, b, cost = hb_cost_from_moments_jax(P, pairs, q, t, C)
+            x = jnp.linalg.solve(H[6:, 6:] + 0.1 * jnp.eye(6), b[6:])
+            delta = jnp.concatenate([jnp.zeros(6), -x]).reshape(C, 6)
+            upd = SE3.exp(delta.astype(jnp.float32)).compose(SE3(q, t))
+            return (upd.q, upd.t), cost
+
+        (qf, tf), costs = jax.lax.scan(step, (q, t), None, length=iters)
         return qf, tf, costs
 
-    q1, t1, c = run_iters(q, t)
-    jax.block_until_ready(q1)  # compile
+    qf, tf, costs = schedule(data, q0, t0_)
+    jax.block_until_ready(qf)  # compile
+    assert bool(jnp.all(jnp.isfinite(costs)))
     t0 = time.time()
-    q1, t1, c = run_iters(q, t)
-    jax.block_until_ready(q1)
-    dt = (time.time() - t0) / iters
-    return m / dt
+    outs = [schedule(data, q0, t0_) for _ in range(reps)]
+    jax.block_until_ready(outs[-1][0])
+    total = time.time() - t0
+    corr_iters_per_s = reps * m * iters / total
+    gbps = reps * data_np.nbytes / total / 1e9
+
+    # separately time the bare moment pass (the bandwidth-bound component)
+    p = icp_moment_pallas(data, chunk=chunk)
+    jax.block_until_ready(p)
+    t0 = time.time()
+    ps = [icp_moment_pallas(data, chunk=chunk) for _ in range(reps)]
+    jax.block_until_ready(ps[-1])
+    dt_pass = (time.time() - t0) / reps
+    pass_gbps = data_np.nbytes / dt_pass / 1e9
+    return corr_iters_per_s, pass_gbps, dt_pass, total / reps
+
+
+def bench_photometric_hb(nb=8, n_points=262_144, K=5, L=4, W=1024, H=768,
+                         reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.models import cameras as cm
+    from dataset_pipeline_tpu.photometric.optimizer import _hb_batch
+
+    rng = np.random.RandomState(0)
+    f, cx, cy = 900.0, (W - 1) / 2.0, (H - 1) / 2.0
+    cam = cm.make_camera("PINHOLE", W, H, [f, f, cx, cy])
+    params = jnp.asarray(cam.params)
+
+    u = rng.uniform(32, W - 32, n_points)
+    v = rng.uniform(32, H - 32, n_points)
+    z = rng.uniform(2.0, 5.0, n_points)
+    pts = np.stack([(u - cx) / f * z, (v - cy) / f * z, z], -1).astype(np.float32)
+    nbr = rng.randint(0, n_points, (n_points, K)).astype(np.int32)
+    desc = np.zeros((n_points, K), np.float32)
+    pyr = []
+    for s in range(L):
+        hs, ws = max(1, round(H * 2.0 ** -s)), max(1, round(W * 2.0 ** -s))
+        pyr.append(jnp.asarray(
+            rng.uniform(10, 200, (nb, hs, ws)).astype(np.float32)))
+    obs_scale = jnp.asarray(
+        rng.uniform(0.1, L - 2.1, (nb, n_points)).astype(np.float32))
+    contrib = jnp.ones((nb, n_points), bool)
+    pose_q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (nb, 1))
+    pose_t = jnp.tile(jnp.asarray([0.0, 0, 0], jnp.float32), (nb, 1))
+
+    args = (cam, params, pose_q, pose_t, jnp.asarray(pts), jnp.asarray(nbr),
+            jnp.asarray(desc), pyr, obs_scale, contrib, 0.01)
+
+    def run():
+        Hm, b, cost, count = _hb_batch(*args, optimize_intrinsics=True,
+                                       dynamic_scale=True)
+        jax.block_until_ready(Hm)
+        return count
+
+    count = run()  # compile
+    assert int(count) > nb * n_points // 2, f"only {int(count)} valid obs"
+    t0 = time.time()
+    for _ in range(reps):
+        run()
+    dt = (time.time() - t0) / reps
+    return nb * n_points / dt
+
+
+def bench_cubemap(size=2048, n_points=10_000_000):
+    import jax
+
+    from dataset_pipeline_tpu.tools.cube_map_renderer import render_cube_map
+
+    rng = np.random.RandomState(0)
+    d = rng.uniform(1.0, 20.0, n_points).astype(np.float32)
+    v = rng.randn(n_points, 3).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = v * d[:, None]
+    cols = rng.randint(0, 255, (n_points, 3)).astype(np.uint8)
+
+    render_cube_map(pos, cols, size)  # compile
+    t0 = time.time()
+    render_cube_map(pos, cols, size)
+    dt = time.time() - t0
+    return 6.0 / dt
+
+
+def bench_gt_depth(width=3072, height=2048, n_points=4_000_000, frames=4):
+    import jax
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.models import cameras as cm
+    from dataset_pipeline_tpu.models.lie import SE3
+    from dataset_pipeline_tpu.tools.ground_truth_creator import (
+        _gt_depth_image,
+        render_occlusion_depth,
+    )
+
+    rng = np.random.RandomState(0)
+    f = 2800.0
+    cam = cm.make_camera("PINHOLE", width, height,
+                         [f, f, (width - 1) / 2.0, (height - 1) / 2.0])
+    pts = jnp.asarray(np.stack([
+        rng.uniform(-6, 6, n_points), rng.uniform(-4, 4, n_points),
+        rng.uniform(3, 12, n_points)], -1).astype(np.float32))
+    keep = jnp.ones((n_points,), bool)
+
+    def one_frame(tx):
+        pose = SE3(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                   jnp.asarray([tx, 0.0, 0.0], jnp.float32))
+        occ = render_occlusion_depth(cam, pose, pts, splat_radius=0.01)
+        depth = _gt_depth_image(cam, pose.q, pose.t, pts, keep, occ,
+                                width, height)
+        return depth
+
+    jax.block_until_ready(one_frame(0.0))  # compile
+    t0 = time.time()
+    for i in range(frames):
+        jax.block_until_ready(one_frame(0.01 * (i + 1)))
+    dt = time.time() - t0
+    return frames / dt
+
+
+def bench_registrator_e2e():
+    """End-to-end two-frame photometric registration (the ImageRegistrator
+    core loop on a rendered synthetic scene): seconds for a 2-scale run with
+    10 LM iterations per scale."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.models import cameras as cm
+    from dataset_pipeline_tpu.models.lie import SE3
+    from dataset_pipeline_tpu.ops.splat import (
+        fill_color_from_depth,
+        flood_fill_colors,
+        render_points_depth_color,
+    )
+    from dataset_pipeline_tpu.photometric.multiscale import build_multiscale_cloud
+    from dataset_pipeline_tpu.photometric.optimizer import PhotometricOptimizer
+    from dataset_pipeline_tpu.photometric.problem import (
+        ImageGroup,
+        PhotoProblem,
+        build_image_pyramid,
+        build_photo_level,
+    )
+
+    W, H = 160, 120
+    n = 120
+    xs = np.linspace(0, 2, n)
+    gx, gy = np.meshgrid(xs, xs)
+    gz = 0.1 * np.sin(3 * gx) * np.cos(2.5 * gy)
+    pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1).astype(np.float32)
+    tex = (128 + 60 * np.sin(7 * gx) * np.cos(9 * gy)).clip(0, 252)
+    cols = np.stack([tex.ravel()] * 3, -1).astype(np.uint8)
+    f, cx, cy = 140.0, 79.5, 59.5
+    cam = cm.make_camera("PINHOLE", W, H, [f, f, cx, cy])
+
+    def look_at(eye):
+        target = np.asarray([1.0, 1.0, 0.0])
+        fwd = target - eye
+        fwd /= np.linalg.norm(fwd)
+        r = np.cross(fwd, [0.0, 1.0, 0.0])
+        r /= np.linalg.norm(r)
+        d = np.cross(fwd, r)
+        R = np.stack([r, d, fwd])
+        return R, -R @ eye
+
+    mats, imgs = [], []
+    for eye in ([1.0, 1.0, -2.2], [1.25, 1.05, -2.15]):
+        R, t = look_at(np.asarray(eye))
+        p_cam = pts @ R.T + t
+        d, c = render_points_depth_color(jnp.asarray(p_cam), jnp.asarray(cols),
+                                         W, H, f, f, cx, cy)
+        cf, v = fill_color_from_depth(d, c)
+        img = np.asarray(flood_fill_colors(cf, v))[..., 0]
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3], m[:3, 3] = R, t
+        mats.append(m)
+        imgs.append(img)
+
+    poses = SE3.from_matrix(jnp.asarray(np.stack(mats), jnp.float32))
+    scale_count = 2
+    pyr = build_image_pyramid(np.stack(imgs), scale_count)
+    levels_raw = build_multiscale_cloud(pts, cols, np.zeros(len(pts), np.uint8),
+                                        poses, cam, scale_count)
+    levels = [pl for i, lv in enumerate(levels_raw)
+              if (pl := build_photo_level(lv, seed=i)) is not None]
+    group = ImageGroup(camera=cam, pyramid=pyr, poses=poses, image_ids=[0, 1])
+    problem = PhotoProblem(groups=[group], levels=levels,
+                           occlusion_points=jnp.asarray(pts),
+                           occlusion_radius=0.03, scale_count=scale_count)
+
+    t0 = time.time()
+    opt = PhotometricOptimizer(problem)
+    opt.run(max_iterations_per_scale=10)
+    return time.time() - t0
 
 
 def main():
-    tpu_corr_per_s = bench_tpu()
-    cpu_corr_per_s = bench_numpy_cpu()
+    import jax
+
+    metrics = {}
+    errors = {}
+
+    try:
+        corr_iters_per_s, gbps, dt_pass, dt_disp = bench_icp_moments()
+        metrics["icp_gn_corr_iters_per_s"] = round(corr_iters_per_s, 1)
+        metrics["icp_moment_pass_gbps"] = round(gbps, 2)
+        metrics["icp_moment_pass_s"] = round(dt_pass, 5)
+        metrics["icp_schedule_dispatch_s"] = round(dt_disp, 5)
+    except Exception as e:  # pragma: no cover
+        errors["icp"] = repr(e)
+        corr_iters_per_s = 0.0
+
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in HBM_PEAK_GBPS.items() if k in kind), None)
+    metrics["device_kind"] = jax.devices()[0].device_kind
+    if peak and metrics.get("icp_moment_pass_gbps"):
+        metrics["hbm_peak_gbps"] = peak
+        metrics["hbm_util_pct"] = round(
+            100.0 * metrics["icp_moment_pass_gbps"] / peak, 2)
+
+    for name, fn in (
+        ("photometric_hb_obs_per_s", bench_photometric_hb),
+        ("cubemap_2048_faces_per_s", bench_cubemap),
+        ("gt_depth_frames_per_s", bench_gt_depth),
+        ("registrator_e2e_s", bench_registrator_e2e),
+    ):
+        try:
+            metrics[name] = round(fn(), 3)
+        except Exception as e:  # pragma: no cover
+            errors[name] = repr(e)
+
+    try:
+        cpu = bench_numpy_cpu_schedule()
+    except Exception as e:  # pragma: no cover
+        errors["cpu_baseline"] = repr(e)
+        cpu = 1.0
+
     result = {
         "metric": "icp_gn_correspondences_per_s",
-        "value": round(tpu_corr_per_s, 1),
-        "unit": "corr/s (full fused GN iteration on 1M correspondences)",
-        "vs_baseline": round(tpu_corr_per_s / cpu_corr_per_s, 3),
+        "value": round(corr_iters_per_s, 1),
+        "unit": "corr*iters/s (20-iteration inner LM schedule, 1M corr; "
+                "moment-matrix formulation)",
+        "vs_baseline": round(corr_iters_per_s / cpu, 3),
+        "metrics": metrics,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 

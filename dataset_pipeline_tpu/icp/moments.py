@@ -1,0 +1,365 @@
+"""Moment-matrix (monomial Gram) formulation of the symmetric
+point-to-plane Gauss-Newton normal equations.
+
+Key identity: for a correspondence with LOCAL-frame source/target points
+and normals ``ps, ns, pt, nt`` under cloud poses ``(R_s, t_s), (R_t, t_t)``,
+every entry of the stacked residual/Jacobian row pair (the reference's
+``PointToPlaneICPImpl::Accumulate`` math,
+``/root/reference/src/icp/icp_point_to_plane_impl.h:129-211``) is LINEAR in
+the 42 pose-independent monomials
+
+    m = sqrt(w) * [ns, nt, vec(ps x ns), vec(pt x ns), vec(ps x nt), vec(pt x nt)]
+
+(outer products, row-major).  Hence with the augmented rows ``A1, A2``
+(Jacobian blocks + residual, see ``ops/pallas_gn.py``) written as
+``A1 = M1(pose) @ m`` per correspondence,
+
+    H_aug = sum_i A1_i A1_i^T + A2_i A2_i^T
+          = M1 P M1^T + M2 P M2^T,   with  P = sum_i m_i m_i^T.
+
+``P`` (48x48 padded) does not depend on the poses: it is accumulated ONCE
+per correspondence set (one MXU pass over the data), after which EVERY
+inner LM iteration -- H, b, cost evaluation included -- costs a few
+(6C+1)x48 matrix products on the host in float64.  This replaces the
+reference's per-iteration O(M) accumulation (``impl.h:217-291`` re-runs
+``Accumulate`` every lambda trial) with O(1) per-iteration work, and is
+numerically *better*: the ``R^T R = I`` cancellations are applied
+analytically and the final products run in f64.
+
+Monomial row layout (48 rows, zero-padded from 42) — Kronecker block order,
+chosen so the kernel builds it with six sublane-broadcast multiplies of the
+(6, CH) block ``b = [sns; snt]`` instead of 36 scalar-row products:
+    0:6                 b = [sqrt(w)*ns (3), sqrt(w)*nt (3)]
+    6+6k : 12+6k        a_k * b,  a = (ps_0, ps_1, ps_2, pt_0, pt_1, pt_2)
+i.e. ps_i*sns_j at 6+6i+j, ps_i*snt_j at 9+6i+j,
+     pt_i*sns_j at 24+6i+j, pt_i*snt_j at 27+6i+j.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MONO_ROWS = 48  # 42 monomials padded to a multiple of 8 sublanes
+
+# index arrays into the 42 monomials for each outer-product family,
+# flattened row-major over (i, j)
+_I6 = np.arange(3)
+IDX_PS_SNS = (6 + 6 * _I6[:, None] + _I6[None, :]).reshape(9)
+IDX_PS_SNT = (9 + 6 * _I6[:, None] + _I6[None, :]).reshape(9)
+IDX_PT_SNS = (24 + 6 * _I6[:, None] + _I6[None, :]).reshape(9)
+IDX_PT_SNT = (27 + 6 * _I6[:, None] + _I6[None, :]).reshape(9)
+
+
+@partial(jax.jit, static_argnames=())
+def monomials_xla(ps, ns, pt, nt, w):
+    """(M, 42) monomial matrix (XLA path, used on CPU and in tests)."""
+    sw = jnp.sqrt(w)[:, None]
+    b = jnp.concatenate([ns * sw, nt * sw], axis=1)  # (M, 6)
+    a = jnp.concatenate([ps, pt], axis=1)  # (M, 6)
+    prod = (a[:, :, None] * b[:, None, :]).reshape(a.shape[0], 36)
+    return jnp.concatenate([b, prod], axis=1)
+
+
+@partial(jax.jit, static_argnames=())
+def moment_gram_xla(ps, ns, pt, nt, w):
+    """P = sum m m^T for one correspondence group (42x42, f32-HIGHEST)."""
+    m = monomials_xla(ps, ns, pt, nt, w)
+    return jax.lax.dot_general(
+        m, m, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _skew(v):
+    return np.asarray([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ])
+
+
+def group_row_maps(Rs, ts, Rt, tt):
+    """Linear maps from the 42 monomials to the two augmented row vectors.
+
+    Returns (J1, r1, J2, r2): J* (6, 42) map to the 6-dof Jacobian vectors
+    ``j1 = [Ns, Pt x Ns]`` / ``j2 = [Nt, Ps x Nt]`` in the GLOBAL frame,
+    r* (42,) map to the residuals ``r1 = Ns.(Pt-Ps)``, ``r2 = Nt.(Ps-Pt)``.
+    All f64.
+    """
+    Rs = np.asarray(Rs, np.float64)
+    Rt = np.asarray(Rt, np.float64)
+    ts = np.asarray(ts, np.float64)
+    tt = np.asarray(tt, np.float64)
+
+    # cross products of columns: cc[a, e*3+f] = (Rt[:,e] x Rs[:,f])_a
+    def col_cross(A, B):
+        c = np.cross(A.T[:, None, :], B.T[None, :, :])  # (e, f, a)
+        return c.reshape(9, 3).T  # (3, 9)
+
+    eye9 = np.eye(3).reshape(9)
+    J1 = np.zeros((6, 42))
+    J1[0:3, 0:3] = Rs                       # Ns on ns
+    J1[3:6, 0:3] = _skew(tt) @ Rs           # (t_t x Ns) on ns
+    J1[3:6, IDX_PT_SNS] = col_cross(Rt, Rs)  # (R_t pt x R_s ns) on pt (x) ns
+    r1 = np.zeros(42)
+    r1[0:3] = Rs.T @ (tt - ts)              # Ns.(t_t - t_s) on ns
+    r1[IDX_PS_SNS] = -eye9                  # -ps.ns  (R_s^T R_s = I)
+    # (Rt.T @ Rs)[e, f] = Rt[:,e].Rs[:,f]  -> row-major e*3+f
+    r1[IDX_PT_SNS] = (Rt.T @ Rs).reshape(9)
+    J2 = np.zeros((6, 42))
+    J2[0:3, 3:6] = Rt
+    J2[3:6, 3:6] = _skew(ts) @ Rt
+    J2[3:6, IDX_PS_SNT] = col_cross(Rs, Rt)  # (R_s ps x R_t nt) on ps (x) nt
+    r2 = np.zeros(42)
+    r2[3:6] = Rt.T @ (ts - tt)
+    r2[IDX_PT_SNT] = -eye9
+    r2[IDX_PS_SNT] = (Rs.T @ Rt).reshape(9)
+    return J1, r1, J2, r2
+
+
+def hb_cost_from_moments(P_groups: Sequence[np.ndarray],
+                         group_pairs: Sequence[Tuple[int, int]],
+                         q: np.ndarray, t: np.ndarray,
+                         num_clouds: int):
+    """H (6C,6C), b (6C,), cost from per-group moment matrices. All f64.
+
+    ``q`` (C,4) wxyz, ``t`` (C,3): per-cloud correction poses (the transform
+    applied on top of the stored global poses, exactly as in
+    ``_icp_hb_cost``).
+    """
+    from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
+
+    C = num_clouds
+    n = 6 * C
+    G = np.zeros((n + 1, n + 1))
+    Rs_all = [quat_to_matrix_np(np.asarray(q[c], np.float64)) for c in range(C)]
+    for P, (s, tg) in zip(P_groups, group_pairs):
+        P = np.asarray(P, np.float64)[:42, :42]
+        J1, r1, J2, r2 = group_row_maps(Rs_all[s], t[s], Rs_all[tg], t[tg])
+        A1 = np.zeros((n + 1, 42))
+        A1[6 * s:6 * s + 6] = -J1
+        A1[6 * tg:6 * tg + 6] += J1
+        A1[n] = r1
+        A2 = np.zeros((n + 1, 42))
+        A2[6 * s:6 * s + 6] = J2
+        A2[6 * tg:6 * tg + 6] += -J2
+        A2[n] = r2
+        G += A1 @ P @ A1.T + A2 @ P @ A2.T
+    return G[:n, :n], G[:n, n], G[n, n]
+
+
+def _group_row_maps_jax(Rs, ts, Rt, tt):
+    """jnp twin of :func:`group_row_maps` (f32, traceable): linear maps from
+    the 42 monomials to the augmented row pair."""
+    def col_cross(A, B):
+        c = jnp.cross(A.T[:, None, :], B.T[None, :, :])  # (e, f, a)
+        return c.reshape(9, 3).T
+
+    def skew(v):
+        return jnp.asarray([[0.0, -v[2], v[1]],
+                            [v[2], 0.0, -v[0]],
+                            [-v[1], v[0], 0.0]])
+
+    eye9 = jnp.eye(3).reshape(9)
+    J1 = jnp.zeros((6, 42))
+    J1 = J1.at[0:3, 0:3].set(Rs)
+    J1 = J1.at[3:6, 0:3].set(skew(tt) @ Rs)
+    J1 = J1.at[3:6, IDX_PT_SNS].set(col_cross(Rt, Rs))
+    r1 = jnp.zeros(42)
+    r1 = r1.at[0:3].set(Rs.T @ (tt - ts))
+    r1 = r1.at[IDX_PS_SNS].set(-eye9)
+    r1 = r1.at[IDX_PT_SNS].set((Rt.T @ Rs).reshape(9))
+    J2 = jnp.zeros((6, 42))
+    J2 = J2.at[0:3, 3:6].set(Rt)
+    J2 = J2.at[3:6, 3:6].set(skew(ts) @ Rt)
+    J2 = J2.at[3:6, IDX_PS_SNT].set(col_cross(Rs, Rt))
+    r2 = jnp.zeros(42)
+    r2 = r2.at[3:6].set(Rt.T @ (ts - tt))
+    r2 = r2.at[IDX_PT_SNT].set(-eye9)
+    r2 = r2.at[IDX_PS_SNT].set((Rs.T @ Rt).reshape(9))
+    return J1, r1, J2, r2
+
+
+def hb_cost_from_moments_jax(P, group_pairs, q, t, num_clouds: int):
+    """On-device H,b,cost from stacked (G,48,48) moment matrices — lets the
+    whole inner LM schedule run as ONE dispatch (``lax.scan`` over
+    iterations) with O(1) per-iteration flops. ``group_pairs`` is static."""
+    from dataset_pipeline_tpu.models.lie import quat_to_matrix
+
+    C = num_clouds
+    n = 6 * C
+    R = quat_to_matrix(q)
+    G_aug = jnp.zeros((n + 1, n + 1))
+    hi = jax.lax.Precision.HIGHEST
+    for gi, (s, tg) in enumerate(group_pairs):
+        J1, r1, J2, r2 = _group_row_maps_jax(R[s], t[s], R[tg], t[tg])
+        A1 = jnp.zeros((n + 1, 42))
+        A1 = A1.at[6 * s:6 * s + 6].add(-J1)
+        A1 = A1.at[6 * tg:6 * tg + 6].add(J1)
+        A1 = A1.at[n].set(r1)
+        A2 = jnp.zeros((n + 1, 42))
+        A2 = A2.at[6 * s:6 * s + 6].add(J2)
+        A2 = A2.at[6 * tg:6 * tg + 6].add(-J2)
+        A2 = A2.at[n].set(r2)
+        Pg = P[gi, :42, :42]
+        G_aug = G_aug + jnp.matmul(jnp.matmul(A1, Pg, precision=hi), A1.T,
+                                   precision=hi)
+        G_aug = G_aug + jnp.matmul(jnp.matmul(A2, Pg, precision=hi), A2.T,
+                                   precision=hi)
+    return G_aug[:n, :n], G_aug[:n, n], G_aug[n, n]
+
+
+def se3_exp_np(tangent):
+    """f64 host twin of ``SE3.exp`` ([u, w] -> (q wxyz, t), Sophus V(w)u)."""
+    tangent = np.asarray(tangent, np.float64)
+    u, w = tangent[:3], tangent[3:]
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        q = np.asarray([1.0, 0.5 * w[0], 0.5 * w[1], 0.5 * w[2]])
+        q /= np.linalg.norm(q)
+        K = _skew(w)
+        V = np.eye(3) + 0.5 * K + K @ K / 6.0
+    else:
+        axis = w / theta
+        q = np.concatenate([[np.cos(theta / 2)], np.sin(theta / 2) * axis])
+        K = _skew(w)
+        V = (np.eye(3) + (1 - np.cos(theta)) / theta**2 * K
+             + (theta - np.sin(theta)) / theta**3 * (K @ K))
+    return q, V @ u
+
+
+def quat_mul_np(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.asarray([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
+                        max_iterations: int = 150,
+                        convergence_threshold: float = 1e-7,
+                        lam0: float = 0.1):
+    """The ENTIRE inner LM loop from precomputed moment matrices.
+
+    Mirrors ``PointToPlaneICPImpl::compute``
+    (``/root/reference/src/icp/icp_point_to_plane_impl.h:217-291``): damped
+    solve over the gauge-fixed system (cloud 0 excluded), accept iff cost
+    decreases, lambda halve/double with 10 tries, stop when no update
+    applies or |x| < threshold.  All math f64 on host; per-iteration cost is
+    O(groups * 42^2) regardless of correspondence count.
+
+    Returns (q (C,4) f64, t (C,3) f64, final_cost).
+    """
+    from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
+
+    C = num_clouds
+    q = np.tile(np.asarray([1.0, 0, 0, 0]), (C, 1))
+    t = np.zeros((C, 3))
+    lam = lam0
+    n_var = 6 * (C - 1)
+
+    def eval_G(q_, t_):
+        return hb_cost_from_moments(P_groups, group_pairs, q_, t_, C)
+
+    H, b, cost = eval_G(q, t)
+    if n_var == 0:
+        return q, t, cost
+    for _ in range(max_iterations):
+        Hv, bv = H[6:, 6:], b[6:]
+        applied = False
+        x = None
+        for _ in range(10):
+            try:
+                x = np.linalg.solve(Hv + lam * np.eye(n_var), bv)
+            except np.linalg.LinAlgError:
+                lam *= 2.0
+                continue
+            qc = q.copy()
+            tc = t.copy()
+            for c in range(1, C):
+                dq, dt = se3_exp_np(np.concatenate([
+                    -x[6 * (c - 1):6 * (c - 1) + 3],
+                    -x[6 * (c - 1) + 3:6 * c]]))
+                Rd = quat_to_matrix_np(dq)
+                qc[c] = quat_mul_np(dq, q[c])
+                qc[c] /= np.linalg.norm(qc[c])
+                tc[c] = Rd @ t[c] + dt
+            Hn, bn, new_cost = eval_G(qc, tc)
+            if new_cost < cost:
+                q, t, H, b, cost = qc, tc, Hn, bn, new_cost
+                lam *= 0.5
+                applied = True
+                break
+            lam *= 2.0
+        if not applied:
+            break
+        if x is not None and np.linalg.norm(x) < convergence_threshold:
+            break
+    return q, t, cost
+
+
+def pack_group_data(groups, chunk: int = 16384):
+    """Pack per-group correspondence arrays into the fused (16, Mp) layout
+    with each group padded to a chunk multiple (padding rows have w=0 and
+    thus vanish from the Gram).
+
+    ``groups``: list of dicts with ps/ns/pt/nt (Mg,3) float32 arrays and
+    optional 'w'.  Returns (data (16, Mp) np.float32, chunk_gid (grid,) int32
+    mapping each chunk to its group).
+    """
+    blocks = []
+    chunk_gid = []
+    for gi, g in enumerate(groups):
+        Mg = len(g["ps"])
+        pad = (-Mg) % chunk
+        Mp = Mg + pad
+        d = np.zeros((16, Mp), np.float32)
+        d[0:3, :Mg] = g["ps"].T
+        d[3:6, :Mg] = g["ns"].T
+        d[6:9, :Mg] = g["pt"].T
+        d[9:12, :Mg] = g["nt"].T
+        d[12, :Mg] = g.get("w", np.ones(Mg, np.float32))
+        blocks.append(d)
+        chunk_gid.extend([gi] * (Mp // chunk))
+    data = np.concatenate(blocks, axis=1)
+    return data, np.asarray(chunk_gid, np.int32)
+
+
+def compute_group_moments(groups, chunk: int = 16384,
+                          force_xla: bool = False) -> List[np.ndarray]:
+    """Per-group 42x42 moment matrices, f64 on host.
+
+    On TPU: single Pallas dispatch producing per-chunk partial Grams,
+    summed on host in f64 (better than sequential f32 accumulation).
+    On CPU: one XLA HIGHEST-precision Gram per group.
+    """
+    if force_xla or jax.default_backend() == "cpu":
+        out = []
+        for g in groups:
+            w = g.get("w")
+            if w is None:
+                w = np.ones(len(g["ps"]), np.float32)
+            P = moment_gram_xla(jnp.asarray(g["ps"]), jnp.asarray(g["ns"]),
+                                jnp.asarray(g["pt"]), jnp.asarray(g["nt"]),
+                                jnp.asarray(w))
+            out.append(np.asarray(P, np.float64))
+        return out
+
+    from dataset_pipeline_tpu.ops.pallas_gn import icp_moment_pallas
+
+    data, chunk_gid = pack_group_data(groups, chunk)
+    parts = np.asarray(icp_moment_pallas(jnp.asarray(data), chunk=chunk),
+                       np.float64)  # (grid, 48, 48)
+    out = []
+    for gi in range(len(groups)):
+        out.append(parts[chunk_gid == gi, :42, :42].sum(0))
+    return out

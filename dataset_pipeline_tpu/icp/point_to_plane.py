@@ -242,13 +242,17 @@ class PointToPlaneICP:
     """Multi-cloud symmetric point-to-plane ICP (API mirrors the reference's
     ``PointToPlaneICP::AddPointCloud/Run/GetResultGlobalTCloud``)."""
 
-    def __init__(self, use_device_lm: bool = False):
+    def __init__(self, use_device_lm: bool = False, use_moments: bool = True):
         self._clouds: List[Tuple[np.ndarray, np.ndarray]] = []  # local points, normals
         self._poses: List[np.ndarray] = []  # global_T_cloud (4,4)
         self._fixed: List[Tuple[np.ndarray, np.ndarray]] = []  # global frame
         # device LM runs the whole inner loop in one dispatch (f32 solve);
-        # host LM solves in float64 (reference-equivalent, used by tests)
+        # host LM solves in float64 (reference-equivalent, used by tests).
+        # The default moment path (``icp/moments.py``) accumulates the 48x48
+        # monomial Gram per correspondence group in ONE device pass and runs
+        # the whole inner LM loop on host in f64 at O(1) per iteration.
         self.use_device_lm = use_device_lm
+        self.use_moments = use_moments
 
     def add_point_cloud(self, points, normals, global_T_cloud=None, fixed=False):
         points = np.ascontiguousarray(points, np.float32)
@@ -293,6 +297,7 @@ class PointToPlaneICP:
             return grids[j]
 
         out = {k: [] for k in ("sid", "tid", "ps", "ns", "pt", "nt")}
+        groups: List[Tuple[int, int, int]] = []  # (src, tgt, count) in order
         n_entries = len(entries)
         first_movable = 1 if has_fixed else 0
         for i in range(n_entries):
@@ -321,9 +326,12 @@ class PointToPlaneICP:
                 out["ns"].append(src_nrm[sidx])
                 out["pt"].append(tgt_pts[tidx])
                 out["nt"].append(tgt_nrm[tidx])
+                groups.append((i, j, len(sidx)))
         if not out["sid"]:
             return None
-        return {k: np.concatenate(v) for k, v in out.items()}
+        res = {k: np.concatenate(v) for k, v in out.items()}
+        res["groups"] = groups
+        return res
 
     # -- inner LM -------------------------------------------------------------
 
@@ -334,6 +342,28 @@ class PointToPlaneICP:
         Returns per-entry correction SE3 (q, t) as numpy arrays.
         """
         C = num_entries
+        if self.use_moments and not self.use_device_lm:
+            from dataset_pipeline_tpu.icp.moments import (
+                compute_group_moments,
+                icp_lm_from_moments,
+            )
+
+            groups_data = []
+            pairs = []
+            ofs = 0
+            for (s, tg, cnt) in corr["groups"]:
+                sl = slice(ofs, ofs + cnt)
+                groups_data.append({
+                    "ps": corr["ps"][sl], "ns": corr["ns"][sl],
+                    "pt": corr["pt"][sl], "nt": corr["nt"][sl],
+                })
+                pairs.append((s, tg))
+                ofs += cnt
+            P = compute_group_moments(groups_data)
+            q, t, cost = icp_lm_from_moments(
+                P, pairs, C, max_iterations, convergence_threshold)
+            return np.asarray(q), np.asarray(t), float(cost)
+
         M = len(corr["sid"])
         B = _bucket(M)
         pad = B - M
@@ -425,11 +455,11 @@ class PointToPlaneICP:
 
             first_movable = 1 if has_fixed else 0
             max_move = 0.0
-            from dataset_pipeline_tpu.models.lie import quat_to_matrix
+            from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
 
             for ci in range(len(self._clouds)):
                 e = first_movable + ci
-                Rc = np.asarray(quat_to_matrix(jnp.asarray(q[e])), np.float64)
+                Rc = quat_to_matrix_np(np.asarray(q[e], np.float64))
                 tc = np.asarray(t[e], np.float64)
                 corr_T = np.eye(4)
                 corr_T[:3, :3] = Rc

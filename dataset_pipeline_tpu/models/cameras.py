@@ -361,6 +361,60 @@ def unproject(cam: Camera, pix, depth, num_iters=_UNDIST_ITERS):
 
 
 # ---------------------------------------------------------------------------
+# Undistortion lookup table (``camera_base_impl.h:255-273``): the reference
+# precomputes per-pixel undistorted (normalized-plane) coordinates once and
+# serves later unprojections by bilinear fetch (``:184-210``), so
+# repeated-unprojection paths (depth-map -> cloud, localize, label transfer)
+# skip the 100-iteration GN. Here the table is a device array and the fetch
+# is a batched gather — O(1) per point, exact at grid nodes.
+# ---------------------------------------------------------------------------
+
+
+class UndistortionLUT(NamedTuple):
+    values: jnp.ndarray  # (gh, gw, 2) normalized coords at grid nodes
+    step: float  # grid spacing in pixels (node i,j sits at pixel (j*step, i*step))
+
+
+def build_undistortion_lut(cam: Camera, step: float = 1.0) -> UndistortionLUT:
+    """Precompute the pixel-grid -> normalized-plane table (full iterative
+    undistortion, once)."""
+    gw = int(math.ceil((cam.width - 1) / step)) + 1
+    gh = int(math.ceil((cam.height - 1) / step)) + 1
+    xs = jnp.arange(gw, dtype=jnp.float32) * step
+    ys = jnp.arange(gh, dtype=jnp.float32) * step
+    gx, gy = jnp.meshgrid(xs, ys)
+    pix = jnp.stack([gx, gy], -1).reshape(-1, 2)
+    n = image_to_normalized(cam, pix)
+    return UndistortionLUT(n.reshape(gh, gw, 2), float(step))
+
+
+def image_to_normalized_lut(cam: Camera, lut: UndistortionLUT, pix):
+    """Pixels -> normalized plane by bilinear LUT fetch
+    (``camera_base_impl.h:184-210`` counterpart)."""
+    g = pix / lut.step
+    gh, gw = lut.values.shape[:2]
+    gx = jnp.clip(g[..., 0], 0.0, gw - 1.0)
+    gy = jnp.clip(g[..., 1], 0.0, gh - 1.0)
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, gw - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, gh - 2)
+    fx = (gx - x0)[..., None]
+    fy = (gy - y0)[..., None]
+    v00 = lut.values[y0, x0]
+    v01 = lut.values[y0, x0 + 1]
+    v10 = lut.values[y0 + 1, x0]
+    v11 = lut.values[y0 + 1, x0 + 1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def unproject_lut(cam: Camera, lut: UndistortionLUT, pix, depth):
+    """LUT-served counterpart of :func:`unproject`."""
+    n = image_to_normalized_lut(cam, lut, pix)
+    z = jnp.asarray(depth)[..., None]
+    return jnp.concatenate([n * z, jnp.broadcast_to(z, n.shape[:-1] + (1,))], -1)
+
+
+# ---------------------------------------------------------------------------
 # Jacobians (autodiff on the forward functions; replaces the reference's
 # hand-derived DistortedDerivativeBy* chain rules)
 # ---------------------------------------------------------------------------

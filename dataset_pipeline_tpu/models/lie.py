@@ -77,6 +77,19 @@ def quat_to_matrix(q):
     return m.reshape(q.shape[:-1] + (3, 3))
 
 
+def quat_to_matrix_np(q):
+    """Numpy float64 twin of :func:`quat_to_matrix` for host-side math
+    (one quaternion (4,) wxyz -> (3,3))."""
+    import numpy as np
+
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def quat_from_matrix(m):
     """Rotation matrix ``(...,3,3)`` -> quaternion wxyz. Branch-free Shepperd."""
     m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]

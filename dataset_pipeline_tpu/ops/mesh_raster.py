@@ -240,7 +240,10 @@ def _edge_splat_pass(mesh: OcclusionMesh, camera: cm.Camera, pose_q, pose_t,
             flat = jnp.where(okp, jy * width + jx, -1)
             old = depth_flat[jnp.clip(flat, 0, depth_flat.shape[0] - 1)]
             should = okp & ((old == 0) | (old + kthresh > zc))
-            return mark.at[jnp.where(should, flat, -1)].set(True, mode="drop")
+            # padding index must be OUT OF RANGE (N), not -1: jnp ``.at``
+            # wraps negative indices before the drop-mode bounds check
+            return mark.at[jnp.where(should, flat, mark.shape[0])].set(
+                True, mode="drop")
 
         return jax.lax.fori_loop(0, side * side, offset_body, mark)
 
@@ -249,6 +252,113 @@ def _edge_splat_pass(mesh: OcclusionMesh, camera: cm.Camera, pose_q, pose_t,
     )
     depth_flat = jnp.where(mark, -1.0, depth_flat)
     return depth_flat.reshape(height, width)
+
+
+def render_occlusion_mesh_depth_batch(camera: cm.Camera, pose_q, pose_t,
+                                      mesh: OcclusionMesh,
+                                      splat_radius: float = 0.03,
+                                      min_depth: float = 0.05,
+                                      max_depth: float = 100.0,
+                                      edge_splats: bool = True):
+    """(B,H,W) occlusion depths for a chunk of poses in ONE dispatch.
+
+    vmapped counterpart of :func:`render_occlusion_mesh_depth` — the
+    reference renders images one by one under ``omp critical``
+    (``opt/occlusion_geometry.cc:211-245``); here the image axis is batched
+    like every other per-image kernel (and is the mesh-sharding axis)."""
+    fn = lambda q, t: render_occlusion_mesh_depth(
+        camera, SE3(q, t), mesh, splat_radius=splat_radius,
+        min_depth=min_depth, max_depth=max_depth, edge_splats=edge_splats)
+    return jax.vmap(fn)(pose_q, pose_t)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile"))
+def _raster_color_tier(pix, z, tri_valid, faces, vert_cols, width: int,
+                       height: int, tile: int, depth_ref, color_flat):
+    """Second pass: write perspective-correct interpolated vertex colors at
+    pixels whose first-pass depth this triangle produced (``renderer.h:319-321``
+    color readback counterpart)."""
+    p = pix[faces]
+    zf = z[faces]
+    cf = vert_cols[faces]  # (F,3,3)
+    lo = jnp.floor(jnp.min(p, axis=1))
+    hi = jnp.ceil(jnp.max(p, axis=1))
+    extent = hi - lo + 1.0
+    fits = tri_valid & (extent[:, 0] <= tile) & (extent[:, 1] <= tile)
+
+    a, b, c = p[:, 0], p[:, 1], p[:, 2]
+    area = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    good = fits & (jnp.abs(area) > 1e-12)
+    inv_area = jnp.where(good, 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area), 0.0)
+    inv_z = 1.0 / jnp.maximum(zf, 1e-12)
+
+    lo_i = lo.astype(jnp.int32)
+    depth_flat = depth_ref.reshape(-1)
+
+    def body(k, color_flat):
+        dy = k // tile
+        dx = k % tile
+        px = lo_i[:, 0] + dx
+        py = lo_i[:, 1] + dy
+        fx = px.astype(jnp.float32)
+        fy = py.astype(jnp.float32)
+        w0 = ((b[:, 0] - fx) * (c[:, 1] - fy) - (b[:, 1] - fy) * (c[:, 0] - fx)) * inv_area
+        w1 = ((c[:, 0] - fx) * (a[:, 1] - fy) - (c[:, 1] - fy) * (a[:, 0] - fx)) * inv_area
+        w2 = 1.0 - w0 - w1
+        inside = good & (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        iz = w0 * inv_z[:, 0] + w1 * inv_z[:, 1] + w2 * inv_z[:, 2]
+        zpix = 1.0 / jnp.maximum(iz, 1e-12)
+        ok = inside & (px >= 0) & (py >= 0) & (px < width) & (py < height)
+        flat = jnp.where(ok, py * width + px, -1)
+        dwin = depth_flat[jnp.clip(flat, 0, depth_flat.shape[0] - 1)]
+        winner = ok & jnp.isfinite(dwin) & (
+            jnp.abs(zpix - dwin) <= 1e-4 * jnp.maximum(dwin, 1e-6))
+        # perspective-correct color: interpolate c/z and 1/z
+        col = (w0[:, None] * cf[:, 0] * inv_z[:, 0:1]
+               + w1[:, None] * cf[:, 1] * inv_z[:, 1:2]
+               + w2[:, None] * cf[:, 2] * inv_z[:, 2:3]) * zpix[:, None]
+        # out-of-range padding index (negative would WRAP to the last pixel)
+        return color_flat.at[jnp.where(winner, flat, color_flat.shape[0])].set(
+            col, mode="drop")
+
+    return jax.lax.fori_loop(0, tile * tile, body, color_flat)
+
+
+def render_mesh_depth_color(camera: cm.Camera, pose: SE3, mesh: OcclusionMesh,
+                            vertex_colors, min_depth: float = 0.05,
+                            max_depth: float = 100.0):
+    """(depth (H,W), color (H,W,3) float) — the TPU counterpart of the GL
+    renderer's joint depth+color render-and-readback
+    (``opengl/renderer.h:292-321``). Color is perspective-correct
+    barycentric-interpolated vertex color of the depth-winning triangle;
+    background pixels are 0."""
+    width, height = camera.width, camera.height
+    p_cam = pose.apply(mesh.vertices)
+    pix, valid = cm.project(camera, p_cam)
+    z = p_cam[:, 2]
+    vert_ok = valid & (z >= min_depth) & (z <= max_depth)
+    tri_valid = jnp.all(vert_ok[mesh.faces], -1)
+
+    depth_flat = jnp.full((height * width,), jnp.inf, jnp.float32)
+    remaining = tri_valid
+    for tile in (8, 32):
+        depth_flat, done = _raster_tier(pix, z, remaining, mesh.faces,
+                                        width, height, tile, depth_flat)
+        remaining = remaining & ~done
+    color_flat = jnp.zeros((height * width, 3), jnp.float32)
+    remaining = tri_valid
+    cols = jnp.asarray(vertex_colors, jnp.float32)
+    for tile in (8, 32):
+        color_flat = _raster_color_tier(pix, z, remaining, mesh.faces, cols,
+                                        width, height, tile, depth_flat,
+                                        color_flat)
+        p = pix[mesh.faces]
+        extent = (jnp.ceil(jnp.max(p, axis=1)) - jnp.floor(jnp.min(p, axis=1)) + 1.0)
+        done = remaining & (extent[:, 0] <= tile) & (extent[:, 1] <= tile)
+        remaining = remaining & ~done
+    depth = depth_flat.reshape(height, width)
+    depth = jnp.where(jnp.isinf(depth), 0.0, depth)
+    return depth, color_flat.reshape(height, width, 3)
 
 
 def render_occlusion_mesh_depth(camera: cm.Camera, pose: SE3, mesh: OcclusionMesh,

@@ -243,6 +243,57 @@ def pack_icp_inputs(ps, ns, pt, nt, w, chunk: int = 16384):
     return data
 
 
+# ---------------------------------------------------------------------------
+# Moment (monomial Gram) kernel: ONE pose-independent pass over the packed
+# correspondence tensor yields per-chunk 48x48 Grams of the local monomials
+# (see ``icp/moments.py``); the host sums them in f64 per correspondence
+# group, after which every inner LM iteration costs O(1).  This is the
+# speed-of-light formulation: per correspondence the chip reads 64 bytes and
+# performs one 48-wide rank-1 MXU update; no per-iteration traffic at all.
+# ---------------------------------------------------------------------------
+
+
+def _moment_kernel(data_ref, out_ref):
+    d = data_ref[:]  # (16, CH): ps, ns, pt, nt (3 rows each), w row 12
+    sw = jnp.sqrt(d[12:13, :])
+    b = jnp.concatenate([d[3:6, :], d[9:12, :]], axis=0) * sw  # (6, CH)
+
+    # Kronecker block order (see ``icp/moments.py`` layout): [b] then
+    # a_k * b for a = (ps_0, ps_1, ps_2, pt_0, pt_1, pt_2) — six
+    # sublane-broadcast multiplies instead of 36 scalar-row products.
+    blocks = [b]
+    for i in (0, 1, 2, 6, 7, 8):
+        blocks.append(d[i:i + 1, :] * b)
+    blocks.append(jnp.zeros((6, d.shape[1]), jnp.float32))
+    m = jnp.concatenate(blocks, axis=0)  # (48, CH)
+    out_ref[0] = jax.lax.dot_general(
+        m, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("chunk", "interpret"))
+def icp_moment_pallas(data, chunk: int = 16384, interpret: bool = False):
+    """Per-chunk monomial Grams from the packed (16, Mp) tensor.
+
+    Returns (Mp//chunk, 48, 48) float32 partial Grams; the caller segment-sums
+    them (in f64) per correspondence group — chunk->group mapping is the
+    caller's (see ``icp/moments.py:pack_group_data``).
+    """
+    Mp = data.shape[1]
+    assert Mp % chunk == 0, (Mp, chunk)
+    grid = Mp // chunk
+    return pl.pallas_call(
+        _moment_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((16, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 48, 48), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 48, 48), jnp.float32),
+        interpret=interpret,
+    )(data)
+
+
 @partial(jax.jit, static_argnames=("num_clouds", "chunk", "interpret"))
 def icp_hb_cost_pallas_fused(q, t, data, sid, tid,
                              num_clouds: int, chunk: int = 16384,

@@ -62,7 +62,9 @@ def render_points_depth_color(points_cam, colors, width: int, height: int, fx, f
     inside = valid & (ix >= 0) & (iy >= 0) & (ix < width) & (iy < height)
     flat = jnp.where(inside, iy * width + ix, 0)
     won = inside & (z <= jnp.where(inside, depth.reshape(-1)[flat], -jnp.inf))
-    target = jnp.where(won, flat, -1)
+    # padding index must be out of range: negative indices WRAP in jnp.at
+    # before the drop-mode bounds check (a -1 here painted the last pixel)
+    target = jnp.where(won, flat, height * width)
     img = jnp.zeros((height * width, 3), jnp.uint8)
     img = img.at[target].set(colors.astype(jnp.uint8), mode="drop")
     return depth, img.reshape(height, width, 3)

@@ -126,6 +126,10 @@ class ObservationsCache:
     def view(self, gi: int, b: int, l: int) -> Optional[LevelView]:
         return self._views.get((gi, b, l))
 
+    def candidates(self, gi: int, b: int, l: int) -> Optional[np.ndarray]:
+        """The raw candidate mask this view was built from (drift checks)."""
+        return self._masks.get((gi, b, l))
+
     def __contains__(self, key) -> bool:
         return key in self._views
 

@@ -799,6 +799,11 @@ class PhotometricOptimizer:
         self.lam = 64.0
         self._frozen_vis = None
         self.obs_cache = None
+        # drift guardrail (see ``obs_cache_hit_rate``)
+        self.obs_cache_min_hit_rate = 0.98
+        self.obs_cache_check_interval = 10
+        self.obs_cache_hit_log: List[float] = []
+        self._obs_cache_save_path = None
         self._sync_dependent_poses()
         self._build_batches()
 
@@ -896,6 +901,7 @@ class PhotometricOptimizer:
                 self._frozen_vis = None
                 self._build_batches()
                 return cache
+        self._obs_cache_save_path = save_path
         cache = ObservationsCache()
         occl = self._occlusion_depths()
         for gi, g in enumerate(self.p.groups):
@@ -925,6 +931,61 @@ class PhotometricOptimizer:
         if save_path is not None:
             cache.save(save_path, self.p.levels)
         return cache
+
+    def obs_cache_hit_rate(self) -> float:
+        """Core hit rate of the observations cache: the fraction of points
+        passing a FRESH full-level visibility test (same loose gate the cache
+        was built with) that are still inside the cached candidate sets.
+
+        This is the drift guardrail the reference lacks: its cache silently
+        assumes poses never move points into view
+        (``opt/observations_cache.cc:84-88`` only FATALs on parameter
+        mismatch). The scale driver logs this rate periodically and rebuilds
+        the cache when it drops below ``obs_cache_min_hit_rate``.
+        """
+        if self.obs_cache is None:
+            return 1.0
+        occl = self._occlusion_depths()
+        hit = 0
+        tot = 0
+        for gi, g in enumerate(self.p.groups):
+            cam = g.camera
+            for l, level in enumerate(self.p.levels):
+                for idx, valid in _chunk_indices(g.num_images,
+                                                 self.image_chunk):
+                    idxd = jnp.asarray(idx.astype(np.int32))
+                    m, _ = _visibility_batch(
+                        cam, g.poses.q[idxd], g.poses.t[idxd], level.points,
+                        jnp.asarray(level.radius, jnp.float32),
+                        occl[gi][idxd],
+                        jnp.asarray(0.0, jnp.float32),
+                        g.level_count, cam.width, cam.height,
+                        jnp.asarray(2.0 * self.p.occlusion_depth_threshold,
+                                    jnp.float32),
+                        jnp.asarray(0.05, jnp.float32),
+                        geom_batched=False,
+                    )
+                    m_np = np.asarray(m)
+                    for j in np.flatnonzero(valid):
+                        cand = self.obs_cache.candidates(gi, int(idx[j]), l)
+                        if cand is None:
+                            continue
+                        fresh = m_np[j]
+                        tot += int(fresh.sum())
+                        hit += int((fresh & cand).sum())
+        return hit / tot if tot else 1.0
+
+    def _check_obs_cache_drift(self, print_progress: bool = False) -> None:
+        """Log the hit rate; rebuild the cache if pose drift invalidated it."""
+        rate = self.obs_cache_hit_rate()
+        self.obs_cache_hit_log.append(rate)
+        if print_progress:
+            print(f"  obs-cache core hit rate: {rate:.4f}")
+        if rate < self.obs_cache_min_hit_rate:
+            if print_progress:
+                print(f"  obs-cache hit rate {rate:.4f} < "
+                      f"{self.obs_cache_min_hit_rate} — rebuilding cache")
+            self.build_observations_cache(save_path=self._obs_cache_save_path)
 
     def _view(self, gi: int, b: int, l: int):
         if self.obs_cache is None:
@@ -989,18 +1050,20 @@ class PhotometricOptimizer:
             cam = g.camera
             if self.p.occlusion_mesh is not None:
                 from dataset_pipeline_tpu.ops.mesh_raster import (
-                    render_occlusion_mesh_depth,
+                    render_occlusion_mesh_depth_batch,
                 )
 
-                per_image = [
-                    render_occlusion_mesh_depth(
-                        cam, SE3(g.poses.q[b], g.poses.t[b]),
+                chunks = []
+                for idx, valid in _chunk_indices(g.num_images,
+                                                 self.image_chunk):
+                    idxd = jnp.asarray(idx.astype(np.int32))
+                    d = render_occlusion_mesh_depth_batch(
+                        cam, g.poses.q[idxd], g.poses.t[idxd],
                         self.p.occlusion_mesh,
                         splat_radius=self.p.occlusion_radius,
                     )
-                    for b in range(g.num_images)
-                ]
-                out.append(jnp.stack(per_image))
+                    chunks.append(d[: int(valid.sum())])
+                out.append(jnp.concatenate(chunks, 0))
                 continue
             radii = jnp.full((self.p.occlusion_points.shape[0],),
                              self.p.occlusion_radius, jnp.float32)
@@ -1441,6 +1504,9 @@ class PhotometricOptimizer:
             max_change = math.inf
             if it > 0:
                 applied, max_change = self._lm_step(self._frozen_vis)
+                if (self.obs_cache is not None
+                        and it % self.obs_cache_check_interval == 0):
+                    self._check_obs_cache_drift(print_progress)
             occl = self._occlusion_depths()
             self._frozen_vis = self._visibility(occl)
             if self.variable_weight > 0:

@@ -74,14 +74,20 @@ def load_pair_fixture(path: str) -> PairFixture:
 
 def cloud_from_depth(camera: cm.Camera, depth_u16: np.ndarray, depth_factor: float,
                      image_rgb: np.ndarray, stride: int = 1):
-    """Unproject a depth map into a colored cloud (camera frame)."""
+    """Unproject a depth map into a colored cloud (camera frame).
+
+    Per-pixel unprojection is served by the undistortion lookup table
+    (``camera_base_impl.h:255-273``) instead of running the 100-iteration GN
+    per pixel — the repeated-unprojection path the reference built the LUT
+    for."""
     H, W = depth_u16.shape
     ys, xs = np.mgrid[0:H:stride, 0:W:stride]
     d = depth_u16[::stride, ::stride].astype(np.float32) * depth_factor
     valid = d > 0
     xs, ys, d = xs[valid], ys[valid], d[valid]
     pix = jnp.asarray(np.stack([xs, ys], -1), jnp.float32)
-    pts = cm.unproject(camera, pix, jnp.asarray(d))
+    lut = cm.build_undistortion_lut(camera)
+    pts = cm.unproject_lut(camera, lut, pix, jnp.asarray(d))
     colors = image_rgb[::stride, ::stride][valid]
     return np.asarray(pts), colors.reshape(-1, image_rgb.shape[-1])[:, :3]
 

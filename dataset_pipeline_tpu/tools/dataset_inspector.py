@@ -12,6 +12,9 @@ viewer, writes PNG visualizations per image —
   photometric residuals splatted into the image (the GUI's cost fixed /
   variable / combined modes; builds the multi-resolution cloud like
   ImageRegistrator)
+- ``points``:     the GUI's "optimization points" display — the
+  multi-resolution optimization points visible in this image, one color per
+  point scale (``gui_main_window.h:47-61``)
 
 and exposes the GUI's editing tools headlessly:
 
@@ -166,7 +169,7 @@ def main(argv=None) -> int:
     cost_opt = None
     cost_vis = None
     id_to_gb = {}
-    if cost_modes:
+    if cost_modes or "points" in modes:
         from dataset_pipeline_tpu.photometric.multiscale import build_multiscale_cloud
         from dataset_pipeline_tpu.photometric.optimizer import PhotometricOptimizer
         from dataset_pipeline_tpu.photometric.problem import (
@@ -226,6 +229,31 @@ def main(argv=None) -> int:
                 cam.fx, cam.fy, cam.cx, cam.cy)
             Image.fromarray(np.asarray(rgb)).save(
                 os.path.join(args.output_folder_path, f"{base}.scan.png"))
+        if "points" in modes and im.image_id in id_to_gb:
+            # optimization-points display: visible points of every level,
+            # one palette color per point scale (gui_main_window.h:47-61)
+            gi, b = id_to_gb[im.image_id]
+            g = cost_opt.p.groups[gi]
+            gcam = g.camera
+            pimg = np.zeros((gcam.height, gcam.width, 3), np.uint8)
+            palette = np.asarray(
+                [[66, 135, 245], [52, 199, 89], [255, 204, 0],
+                 [255, 59, 48], [175, 82, 222], [90, 200, 250]], np.uint8)
+            gpose = SE3(g.poses.q[b], g.poses.t[b])
+            for l in range(len(cost_opt.p.levels)):
+                bi, j = cost_opt._batch_row[(gi, l)][b]
+                m_rows, _ = cost_vis[gi][l][bi]
+                mask = np.asarray(m_rows[j])
+                pts_l, _, _ = cost_opt._geom(gi, b, l)
+                pix, pv = cm.project(gcam, gpose.apply(pts_l))
+                pix, pv = np.asarray(pix), np.asarray(pv)
+                sel = mask & pv
+                ix = np.floor(pix[:, 0] + 0.5).astype(np.int64)
+                iy = np.floor(pix[:, 1] + 0.5).astype(np.int64)
+                sel &= (ix >= 0) & (iy >= 0) & (ix < gcam.width) & (iy < gcam.height)
+                pimg[iy[sel], ix[sel]] = palette[l % len(palette)]
+            Image.fromarray(pimg).save(
+                os.path.join(args.output_folder_path, f"{base}.points.png"))
         for cmode in cost_modes:
             if im.image_id not in id_to_gb:
                 continue

@@ -88,7 +88,8 @@ def _scan_rendering(camera: cm.Camera, pose_q, pose_t, points, colors, keep,
         for dx in range(-radius, radius + 1):
             jx, jy = ix + dx, iy + dy
             inside = ok & (jx >= 0) & (jy >= 0) & (jx < width) & (jy < height)
-            flat = jnp.where(inside, jy * width + jx, -1)
+            # out-of-range padding index (negative would wrap to the last px)
+            flat = jnp.where(inside, jy * width + jx, height * width)
             img = img.reshape(-1, 3).at[flat].set(colors, mode="drop").reshape(height, width, 3)
     return img
 

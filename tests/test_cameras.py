@@ -153,3 +153,33 @@ def test_vmap_over_cameras():
     pix = jax.vmap(lambda c: cm.project(c, p)[0])(stacked)
     assert pix.shape == (2, 1, 2)
     assert not np.allclose(pix[0], pix[1])
+
+
+def test_undistortion_lut_matches_iterative():
+    """LUT-served unprojection (``camera_base_impl.h:255-273``) must agree
+    with the full iterative GN undistortion across the image for a heavily
+    distorted model, and be exact at grid nodes."""
+    import jax.numpy as jnp
+
+    cam = cm.make_camera(
+        "OPENCV", 128, 96,
+        [100.0, 100.0, 63.5, 47.5, 0.2, -0.05, 0.001, -0.002])
+    lut = cm.build_undistortion_lut(cam)
+    rng = np.random.RandomState(0)
+    pix = jnp.asarray(
+        np.stack([rng.uniform(2, 125, 500), rng.uniform(2, 93, 500)], -1),
+        jnp.float32)
+    n_lut = np.asarray(cm.image_to_normalized_lut(cam, lut, pix))
+    n_ref = np.asarray(cm.image_to_normalized(cam, pix))
+    np.testing.assert_allclose(n_lut, n_ref, atol=2e-5)
+    # exact at grid nodes
+    nodes = jnp.asarray([[0.0, 0.0], [64.0, 48.0], [127.0, 95.0]], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(cm.image_to_normalized_lut(cam, lut, nodes)),
+        np.asarray(cm.image_to_normalized(cam, nodes)), atol=1e-6)
+    # unproject_lut round-trips through project
+    d = jnp.asarray(rng.uniform(1.0, 5.0, 500).astype(np.float32))
+    pts = cm.unproject_lut(cam, lut, pix, d)
+    pix2, ok = cm.project(cam, pts)
+    assert bool(ok.all())
+    np.testing.assert_allclose(np.asarray(pix2), np.asarray(pix), atol=5e-3)

@@ -220,13 +220,17 @@ def test_full_pipeline(tmp_path):
                       "--state_path", f"{root}/reg/scale_1_state",
                       "--image_base_path", f"{root}/images",
                       "--output_folder_path", f"{root}/inspect",
-                      "--modes", "depth,scan,cost,cost_combined",
+                      "--modes", "depth,scan,cost,cost_combined,points",
                       "--splat_radius", "0.01",
                       "--transfer_source", "dslr/v0.png",
                       "--transfer_target", "dslr/v1.png"]) == 0
     assert os.path.exists(f"{root}/inspect/v0.depth.png")
     assert os.path.exists(f"{root}/inspect/v1.scan.png")
     assert os.path.exists(f"{root}/inspect/v0.cost.png")
+    assert os.path.exists(f"{root}/inspect/v0.points.png")
+    pimg = np.asarray(__import__("PIL.Image", fromlist=["open"]).open(
+        f"{root}/inspect/v0.points.png"))
+    assert (pimg.max(-1) > 0).sum() > 100  # visible optimization points drawn
     assert os.path.exists(f"{root}/inspect/v1.cost_combined.png")
     tmask = load_mask(image_mask_path(f"{root}/images", "dslr/v1.png"))
     assert tmask is not None and (tmask == MASK_OBS).sum() > 100

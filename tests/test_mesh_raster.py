@@ -143,3 +143,57 @@ def test_boundary_edges_always_splat():
     depth = np.asarray(render_occlusion_mesh_depth(
         cam, SE3.identity(), mesh, splat_radius=0.05, edge_splats=True))
     assert (depth == -1.0).any()
+
+
+def test_mesh_color_raster():
+    """Color readback parity (``opengl/renderer.h:319-321``): vertex colors
+    on exact pixel rays reproduce at their pixels; a linear color ramp
+    across a planar mesh interpolates exactly (perspective-correct)."""
+    from dataset_pipeline_tpu.ops.mesh_raster import render_mesh_depth_color
+
+    cam = cm.make_camera("PINHOLE", 64, 48, [50.0, 50.0, 31.5, 23.5])
+    pts, faces, _ = _grid_mesh_on_rays(cam, 4, lambda x, y: 2.0)
+    # color ramp linear in x,y: barycentric interpolation is exact on a plane
+    cols = np.stack([pts[:, 0] * 10 + 100, pts[:, 1] * 10 + 100,
+                     np.full(len(pts), 55.0)], -1).astype(np.float32)
+    depth, color = render_mesh_depth_color(cam, SE3.identity(),
+                                           build_occlusion_mesh(pts, faces),
+                                           cols)
+    depth, color = np.asarray(depth), np.asarray(color)
+    covered = depth[5:-5, 5:-5] > 0
+    assert covered.mean() > 0.95
+    # expected color at pixel (x,y): the plane point is on the pixel ray
+    ys, xs = np.mgrid[5:43, 5:59]
+    pix = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    p = np.asarray(cm.unproject(cam, pix, jnp.full(pix.shape[0], 2.0)))
+    exp_r = (p[:, 0] * 10 + 100).reshape(ys.shape)
+    got_r = color[5:-5, 5:-5, 0]
+    np.testing.assert_allclose(got_r[covered], exp_r[covered], atol=0.1)
+    np.testing.assert_allclose(color[5:-5, 5:-5, 2][covered], 55.0, atol=0.1)
+    # background color is 0
+    assert color[47, 63].max() == 0.0
+
+
+def test_mesh_depth_batch_matches_single():
+    from dataset_pipeline_tpu.ops.mesh_raster import (
+        render_occlusion_mesh_depth_batch,
+    )
+
+    cam = cm.make_camera("PINHOLE", 64, 48, [50.0, 50.0, 31.5, 23.5])
+    pts, faces, _ = _grid_mesh_on_rays(cam, 4, lambda x, y: 2.0 + 0.01 * x)
+    mesh = build_occlusion_mesh(pts, faces)
+    qs, ts = [], []
+    rng = np.random.RandomState(3)
+    for _ in range(3):
+        q = np.asarray([1.0, *(0.01 * rng.randn(3))])
+        q /= np.linalg.norm(q)
+        qs.append(q)
+        ts.append(0.02 * rng.randn(3))
+    pose_q = jnp.asarray(np.stack(qs), jnp.float32)
+    pose_t = jnp.asarray(np.stack(ts), jnp.float32)
+    batch = np.asarray(render_occlusion_mesh_depth_batch(
+        cam, pose_q, pose_t, mesh, splat_radius=0.01))
+    for i in range(3):
+        single = np.asarray(render_occlusion_mesh_depth(
+            cam, SE3(pose_q[i], pose_t[i]), mesh, splat_radius=0.01))
+        np.testing.assert_allclose(batch[i], single, atol=1e-5)

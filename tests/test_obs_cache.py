@@ -150,3 +150,34 @@ def test_lm_step_runs_on_views():
     applied, max_change = opt._lm_step(opt._frozen_vis)
     assert applied
     assert np.isfinite(max_change)
+
+
+def test_obs_cache_drift_guardrail():
+    """Core-hit-rate logging + rebuild trigger: after the cache is built, a
+    large pose change must drop the hit rate below 1, and the drift check
+    must rebuild the cache (restoring the rate). The reference has no such
+    guardrail (``observations_cache.cc:84-88`` only FATALs on parameter
+    mismatch) — this is the pose-drift counterpart."""
+    problem = synthetic_two_frame_problem()
+    # move the cameras forward so each image sees only PART of the cloud —
+    # otherwise every point is a candidate and no drift is possible
+    g = problem.groups[0]
+    g.poses = SE3(g.poses.q, g.poses.t + jnp.asarray([0.0, 0.0, 1.2]))
+    opt = PhotometricOptimizer(problem, optimize_intrinsics=False)
+    opt.build_observations_cache()
+    r0 = opt.obs_cache_hit_rate()
+    assert r0 > 0.999  # fresh cache: every visible point is a candidate
+
+    # drift: pan both cameras sideways so new points enter the frustum
+    g = opt.p.groups[0]
+    g.poses = SE3(g.poses.q, g.poses.t + jnp.asarray([0.35, 0.0, 0.0]))
+    r1 = opt.obs_cache_hit_rate()
+    assert r1 < 0.98, f"hit rate did not drop: {r1}"
+
+    cache_before = opt.obs_cache
+    opt.obs_cache_min_hit_rate = 0.98
+    opt._check_obs_cache_drift()
+    assert opt.obs_cache is not cache_before  # rebuilt
+    assert opt.obs_cache_hit_log[-1] == pytest.approx(r1, abs=1e-6)
+    r2 = opt.obs_cache_hit_rate()
+    assert r2 > 0.999
