@@ -62,11 +62,21 @@ def render_points_depth_color(points_cam, colors, width: int, height: int, fx, f
     inside = valid & (ix >= 0) & (iy >= 0) & (ix < width) & (iy < height)
     flat = jnp.where(inside, iy * width + ix, 0)
     won = inside & (z <= jnp.where(inside, depth.reshape(-1)[flat], -jnp.inf))
-    # padding index must be out of range: negative indices WRAP in jnp.at
-    # before the drop-mode bounds check (a -1 here painted the last pixel)
-    target = jnp.where(won, flat, height * width)
-    img = jnp.zeros((height * width, 3), jnp.uint8)
-    img = img.at[target].set(colors.astype(jnp.uint8), mode="drop")
+    # winner-index scatter-min (int32) + one gather instead of a uint8 color
+    # scatter: sub-word scatters serialize on TPU, and min-index makes the
+    # z-tie winner deterministic. Padding index is out of range (negative
+    # indices WRAP in jnp .at before the drop-mode bounds check).
+    n = points_cam.shape[0]
+    point_idx = jnp.arange(n, dtype=jnp.int32)
+    idx_img = jnp.full((height * width,), n, jnp.int32)
+    idx_img = idx_img.at[jnp.where(won, flat, height * width)].min(
+        point_idx, mode="drop")
+    has = idx_img < n
+    c32 = colors.astype(jnp.int32)
+    packed = (c32[:, 0] << 16) | (c32[:, 1] << 8) | c32[:, 2]
+    pimg = jnp.where(has, packed[jnp.minimum(idx_img, n - 1)], 0)
+    img = jnp.stack([(pimg >> 16) & 0xFF, (pimg >> 8) & 0xFF, pimg & 0xFF],
+                    -1).astype(jnp.uint8)
     return depth, img.reshape(height, width, 3)
 
 
@@ -79,6 +89,13 @@ def render_splats_depth(points_cam, radii_world, width: int, height: int,
     ``r_px = f * r_world / z`` (clamped to ``max_radius_px``), written at the
     point's depth — the CPU splat occlusion model of the reference
     (``opt/occlusion_geometry.cc:404-464``).
+
+    Implementation: ONE scatter-min into per-radius-tier buffers (padded by
+    ``max_radius_px`` so off-image centers still paint their in-image
+    pixels), then each tier k is min-dilated by k (separable Chebyshev
+    erosion) and the tiers are min-combined — exactly the (2R+1)^2
+    scatter-pass result with a single scatter (TPU scatters with colliding
+    indices serialize; full-image shift-mins are bandwidth-bound).
     """
     z = points_cam[:, 2]
     valid = z > 0
@@ -90,19 +107,39 @@ def render_splats_depth(points_cam, radii_world, width: int, height: int,
     ix = jnp.floor(x).astype(jnp.int32)
     iy = jnp.floor(y).astype(jnp.int32)
 
-    depth = jnp.full((height * width,), jnp.inf, jnp.float32)
     R = max_radius_px
-    for dy in range(-R, R + 1):
-        for dx in range(-R, R + 1):
-            hit = (
-                valid
-                & (jnp.maximum(jnp.abs(dx), jnp.abs(dy)) <= jnp.ceil(r_px))
-            )
-            jx, jy = ix + dx, iy + dy
-            inside = hit & (jx >= 0) & (jy >= 0) & (jx < width) & (jy < height)
-            flat = jnp.where(inside, jy * width + jx, -1)
-            depth = depth.at[flat].min(jnp.where(inside, z, jnp.inf), mode="drop")
-    return depth.reshape(height, width)
+    Hp, Wp = height + 2 * R, width + 2 * R
+    k_pt = jnp.ceil(r_px).astype(jnp.int32)  # splat tier, 0..R
+    jx, jy = ix + R, iy + R
+    inside = valid & (jx >= 0) & (jy >= 0) & (jx < Wp) & (jy < Hp)
+    tier_size = Hp * Wp
+    flat = jnp.where(inside, k_pt * tier_size + jy * Wp + jx,
+                     (R + 1) * tier_size)
+    buf = jnp.full(((R + 1) * tier_size,), jnp.inf, jnp.float32)
+    buf = buf.at[flat].min(jnp.where(inside, z, jnp.inf), mode="drop")
+    buf = buf.reshape(R + 1, Hp, Wp)
+
+    inf = jnp.inf
+
+    def min3_h(b):
+        left = jnp.pad(b[:, 1:], ((0, 0), (0, 1)), constant_values=inf)
+        right = jnp.pad(b[:, :-1], ((0, 0), (1, 0)), constant_values=inf)
+        return jnp.minimum(b, jnp.minimum(left, right))
+
+    def min3_v(b):
+        up = jnp.pad(b[1:, :], ((0, 1), (0, 0)), constant_values=inf)
+        down = jnp.pad(b[:-1, :], ((1, 0), (0, 0)), constant_values=inf)
+        return jnp.minimum(b, jnp.minimum(up, down))
+
+    out = buf[0]
+    for k in range(1, R + 1):
+        b = buf[k]
+        for _ in range(k):
+            b = min3_h(b)
+        for _ in range(k):
+            b = min3_v(b)
+        out = jnp.minimum(out, b)
+    return out[R:R + height, R:R + width]
 
 
 # ---------------------------------------------------------------------------
@@ -137,11 +174,14 @@ def fill_depth_holes(depth):
     valid = jnp.isfinite(nb)
     count = jnp.sum(valid, -1)
 
-    # order-preserving compaction: stable-sort neighbors by (invalid-last)
-    # keeps valid entries in scan order in the first `count` slots
-    slot = jnp.where(valid, jnp.cumsum(valid, -1) - 1, 8)
-    order = jnp.argsort(slot, axis=-1, stable=True)
-    compact = jnp.take_along_axis(nb, order, -1)
+    # order-preserving compaction without argsort/take_along_axis (tiny-axis
+    # variadic sort + gather dominate the whole fill on TPU): slot j of the
+    # compacted list is the unique neighbor whose valid-prefix rank equals j
+    rank = jnp.cumsum(valid, -1) - 1  # (H,W,8)
+    compact = jnp.stack(
+        [jnp.sum(jnp.where(valid & (rank == k), nb, 0.0), -1)
+         + jnp.where(jnp.any(valid & (rank == k), -1), 0.0, jnp.inf)
+         for k in range(7)], -1)  # (H,W,7) — only the first 7 are ever used
 
     def median_first(m):
         s = jnp.sort(compact[..., :m], -1)

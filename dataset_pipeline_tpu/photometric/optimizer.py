@@ -164,27 +164,69 @@ def _mask_filter_core(camera: cm.Camera, pose_q, pose_t, points,
 # ---------------------------------------------------------------------------
 
 
+def _pyramid_flat_meta(image_pyr: List):
+    """Flatten a pyramid into one 1-D buffer + static per-level meta.
+
+    Lets the trilinear sampler gather ONLY the two bracketing levels of each
+    point via index arithmetic — 8 taps/point regardless of L — instead of
+    evaluating every level pair and one-hot selecting (3x the gathers; the
+    sampler dominates the H,b batch on TPU).
+    """
+    sizes = [im.shape[-2] * im.shape[-1] for im in image_pyr]
+    offs = [0]
+    for s in sizes:
+        offs.append(offs[-1] + s)
+    flat = jnp.concatenate([im.reshape(-1) for im in image_pyr])
+    Hs = jnp.asarray([im.shape[-2] for im in image_pyr], jnp.int32)
+    Ws = jnp.asarray([im.shape[-1] for im in image_pyr], jnp.int32)
+    off = jnp.asarray(offs[:-1], jnp.int32)
+    return flat, Hs, Ws, off
+
+
+def _bilinear_flat(flat, Hs, Ws, off, level, pix0):
+    """Bilinear sample of per-point pyramid ``level`` at full-res coords.
+
+    Returns (value, d/dpix0_x, d/dpix0_y, valid); the 2^-level coordinate
+    scale is folded into the derivatives.
+    """
+    f = jnp.exp2(-level.astype(jnp.float32))
+    x = f * (pix0[..., 0] + 0.5) - 0.5
+    y = f * (pix0[..., 1] + 0.5) - 0.5
+    W_l = Ws[level]
+    H_l = Hs[level]
+    o = off[level]
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    valid = (x >= 0) & (y >= 0) & (ix < W_l - 1) & (iy < H_l - 1)
+    ixc = jnp.clip(ix, 0, W_l - 2)
+    iyc = jnp.clip(iy, 0, H_l - 2)
+    base = o + iyc * W_l + ixc
+    tl = flat[base]
+    tr = flat[base + 1]
+    bl = flat[base + W_l]
+    br = flat[base + W_l + 1]
+    fx = x - ixc
+    fy = y - iyc
+    top = (1 - fx) * tl + fx * tr
+    bottom = (1 - fx) * bl + fx * br
+    value = (1 - fy) * top + fy * bottom
+    dx = (fy * (br - bl) + (1 - fy) * (tr - tl)) * f
+    dy = (bottom - top) * f
+    return value, dx, dy, valid
+
+
 def _sample_pyramid(image_pyr: List, pix0, obs_scale):
     """Trilinear sample at full-res coords ``pix0`` and continuous scale.
 
     image_pyr: list of (H_s,W_s) single-image planes, scale 0 first.
-    Computes the two bracketing levels for every sample by evaluating all
-    levels and one-hot selecting (L is small and static).
     """
     L = len(image_pyr)
     si = jnp.clip(jnp.floor(obs_scale).astype(jnp.int32) + 1, 1, L - 1)
     z = 1.0 - (obs_scale - jnp.floor(obs_scale))
-    value = jnp.zeros(pix0.shape[:-1], image_pyr[0].dtype)
-    ok = jnp.zeros(pix0.shape[:-1], bool)
-    for s in range(1, L):
-        f = 2.0 ** (-s)
-        x0 = f * (pix0[..., 0] + 0.5) - 0.5
-        y0 = f * (pix0[..., 1] + 0.5) - 0.5
-        v, good = trilinear(image_pyr[s], image_pyr[s - 1], x0, y0, z)
-        sel = si == s
-        value = jnp.where(sel, v, value)
-        ok = jnp.where(sel, good, ok)
-    return value, ok
+    flat, Hs, Ws, off = _pyramid_flat_meta(image_pyr)
+    vc, _, _, okc = _bilinear_flat(flat, Hs, Ws, off, si, pix0)  # coarser
+    vf, _, _, okf = _bilinear_flat(flat, Hs, Ws, off, si - 1, pix0)  # finer
+    return (1.0 - z) * vc + z * vf, okc & okf
 
 
 # ---------------------------------------------------------------------------
@@ -298,10 +340,14 @@ def _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask):
       H = J^T diag(c + K*w) J - (S^T A + A^T S)
       b = J^T (gamma - w .* sum_k r_k)
 
-    with S_n = sum_k J[nbr_nk] (K static gathers), A = w .* J,
-    c_m = sum_{(n,k): nbr=m} w_n and gamma_m = sum_{(n,k): nbr=m} w_n r_{nk}
-    (scatter-adds). Memory is O(N*V) and the three (V,N)x(N,V) products run
-    on the MXU at HIGHEST precision.
+    expanded per neighbor slot k with A_k = J[nbr_:,k] (K static gathers):
+
+      H = sum_k [A_k^T W A_k - A_k^T W J - (A_k^T W J)^T] + K J^T W J
+      b = sum_k A_k^T (w r_k)  -  J^T (w sum_k r_k)
+
+    — gathers + (V,N)x(N,V) MXU products at HIGHEST precision only, NO
+    scatters (TPU scatter-adds with colliding indices serialize; this
+    formulation trades them for K tiny matmuls).
     """
     all_ok = ok & jnp.all(ok[neighbors], -1) & contrib_mask
     r = (inten[neighbors] - inten[:, None]) - desc
@@ -313,15 +359,6 @@ def _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask):
     # hold non-finite values that would poison the matmuls
     J = jnp.where(ok[:, None], J, 0.0)
     K = neighbors.shape[1]
-    n = J.shape[0]
-    S = jnp.zeros_like(J)
-    c = jnp.zeros((n,), J.dtype)
-    gamma = jnp.zeros((n,), J.dtype)
-    for k in range(K):
-        nk = neighbors[:, k]
-        S = S + J[nk]
-        c = c.at[nk].add(w)
-        gamma = gamma.at[nk].add(w * r[:, k])
 
     def gram(x, y):
         return jax.lax.dot_general(
@@ -330,14 +367,40 @@ def _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask):
             preferred_element_type=jnp.float32,
         )
 
-    A = w[:, None] * J
-    H = gram((c + K * w)[:, None] * J, J)
-    M = gram(S, A)
-    H = H - M - M.T
-    b = gram(J, (gamma - w * jnp.sum(r, -1))[:, None])[:, 0]
+    A = w[:, None] * J  # W J
+    H = K * gram(A, J)  # K J^T W J
+    b = -gram(J, (w * jnp.sum(r, -1))[:, None])[:, 0]
+    for k in range(K):
+        Ak = J[neighbors[:, k]]
+        WAk = w[:, None] * Ak
+        M = gram(WAk, J)
+        H = H + gram(WAk, Ak) - M - M.T
+        b = b + gram(Ak, (w * r[:, k])[:, None])[:, 0]
     cost = jnp.sum(jnp.where(all_ok, rho, 0.0))
     count = jnp.sum(all_ok)
     return H, b, cost, count
+
+
+def _sample_pyramid_with_derivs(image_pyr: List, pix0, obs_scale):
+    """Trilinear sample + analytic derivatives wrt the FULL-RES pixel coords
+    and the continuous scale: (value, d/dpix0_x, d/dpix0_y, d/dscale, ok).
+
+    Flat-pyramid gathers (see :func:`_pyramid_flat_meta`): only the two
+    bracketing levels of each point are touched; the per-level coordinate
+    scaling contributes the 2^-s chain factor, and z = 1 - frac(scale)
+    contributes d/dscale = -d/dz.
+    """
+    L = len(image_pyr)
+    si = jnp.clip(jnp.floor(obs_scale).astype(jnp.int32) + 1, 1, L - 1)
+    z = 1.0 - (obs_scale - jnp.floor(obs_scale))
+    flat, Hs, Ws, off = _pyramid_flat_meta(image_pyr)
+    vc, dxc, dyc, okc = _bilinear_flat(flat, Hs, Ws, off, si, pix0)
+    vf, dxf, dyf, okf = _bilinear_flat(flat, Hs, Ws, off, si - 1, pix0)
+    value = (1.0 - z) * vc + z * vf
+    dpx = (1.0 - z) * dxc + z * dxf
+    dpy = (1.0 - z) * dyc + z * dyf
+    ds = -(vf - vc)  # dz/dscale = -1
+    return value, dpx, dpy, ds, okc & okf
 
 
 def _hb_core(camera, params, pose_q, pose_t, points, neighbors, desc,
@@ -346,20 +409,46 @@ def _hb_core(camera, params, pose_q, pose_t, points, neighbors, desc,
     """H,b contribution of one image on one level.
 
     Variable layout of the returned block: [P intrinsics | 6 pose].
-    Jacobians by forward-mode autodiff wrt (pose tangent, intrinsics),
-    including the image-scale chain row when ``dynamic_scale``.
-    """
 
-    def inten_of(eps, prm):
-        pose = SE3.exp(eps).compose(SE3(pose_q, pose_t))
-        return _intensity_ok(camera, prm, pose, points, image_pyr, obs_scale,
-                             radius, dynamic_scale)
+    Jacobian structure mirrors the reference's
+    ``ComputePointIntensityAndJacobians`` (``.cc:932-1217``): ONE
+    sample-with-analytic-derivatives per point (dI/dpix, dI/dscale) chained
+    with forward-mode Jacobians of the GATHER-FREE projection/footprint
+    math (dpix/dstate, dscale/dstate) — the image is touched once instead
+    of once per tangent, which is what makes this the production-rate path.
+    """
+    pose0 = SE3(pose_q, pose_t)
+
+    def geom(eps, prm):
+        """(pix (N,2), footprint-scale (N,)) — elementwise, no gathers."""
+        pose = SE3.exp(eps).compose(pose0)
+        p_cam = pose.apply(points)
+        pix, _ = _project_full(camera, prm, p_cam)
+        if dynamic_scale:
+            fp = _footprint_scale(camera, prm, pose, points, radius)
+        else:
+            fp = jnp.zeros(points.shape[0], pix.dtype)
+        return pix, fp
 
     eps0 = jnp.zeros(6, jnp.float32)
-    inten, ok = inten_of(eps0, params)
-    J_pose, J_int = jax.jacfwd(lambda e, p: inten_of(e, p)[0],
-                               argnums=(0, 1))(eps0, params)
-    J = jnp.concatenate([J_int, J_pose], -1) if optimize_intrinsics else J_pose
+    pix, _ = geom(eps0, params)
+    _, valid = _project_full(camera, params, pose0.apply(points))
+    inten, dpx, dpy, dvds, okS = _sample_pyramid_with_derivs(
+        image_pyr, pix, obs_scale)
+    ok = valid & okS
+
+    (Jpix_e, Jpix_p), (Jfp_e, Jfp_p) = jax.jacfwd(geom, argnums=(0, 1))(
+        eps0, params)
+    J_pose = dpx[:, None] * Jpix_e[:, 0, :] + dpy[:, None] * Jpix_e[:, 1, :]
+    if dynamic_scale:
+        J_pose = J_pose + dvds[:, None] * Jfp_e
+    if optimize_intrinsics:
+        J_int = dpx[:, None] * Jpix_p[:, 0, :] + dpy[:, None] * Jpix_p[:, 1, :]
+        if dynamic_scale:
+            J_int = J_int + dvds[:, None] * Jfp_p
+        J = jnp.concatenate([J_int, J_pose], -1)
+    else:
+        J = J_pose
     return _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask)
 
 
@@ -384,32 +473,43 @@ def _hb_depth_core(camera, params, pose_q, pose_t, level_points,
     rig-dependent case unimplemented — so do we)."""
     from dataset_pipeline_tpu.ops.robust import DEFAULT_DEPTH_TUKEY, tukey_rho, tukey_weight
 
-    def residuals(eps, prm):
-        pose = SE3.exp(eps).compose(SE3(pose_q, pose_t))
+    pose0 = SE3(pose_q, pose_t)
+
+    def geom(eps, prm):
+        """(pix (N,2), z (N,)) — elementwise, no gathers."""
+        pose = SE3.exp(eps).compose(pose0)
         p_cam = pose.apply(level_points)
-        z = p_cam[:, 2]
         c2 = camera.with_params(prm)
         pix, _ = cm.project(c2, p_cam)
-        D, _ = _sample_pyramid(depth_pyr, pix, obs_scale)
-        inv_D = jnp.where(D > 0, 1.0 / jnp.maximum(D, 1e-9), 0.0)
-        inv_z = jnp.where(z != 0, 1.0 / jnp.where(z == 0, 1.0, z), 0.0)
-        return inv_D - inv_z  # (N,)
+        return pix, p_cam[:, 2]
 
     eps0 = jnp.zeros(6, jnp.float32)
-    r0 = residuals(eps0, params)
+    pix, z = geom(eps0, params)
+    _, valid = cm.project(camera.with_params(params), pose0.apply(level_points))
+    D, dDx, dDy, _, okD = _sample_pyramid_with_derivs(depth_pyr, pix, obs_scale)
+    inv_D = jnp.where(D > 0, 1.0 / jnp.maximum(D, 1e-9), 0.0)
+    safe_z = jnp.where(z == 0, 1.0, z)
+    inv_z = jnp.where(z != 0, 1.0 / safe_z, 0.0)
+    r0 = inv_D - inv_z
     rho = tukey_rho(r0, DEFAULT_DEPTH_TUKEY)
     w = tukey_weight(r0, DEFAULT_DEPTH_TUKEY)
-
-    # validity: projected + sampled depth positive
-    pose0 = SE3(pose_q, pose_t)
-    p_cam = pose0.apply(level_points)
-    pix, valid = cm.project(camera, p_cam)
-    D, okD = _sample_pyramid(depth_pyr, pix, obs_scale)
     ok = valid & okD & (D > 0) & contrib_mask
     wfull = jnp.where(ok, w, 0.0)
 
-    J_pose, J_int = jax.jacfwd(residuals, argnums=(0, 1))(eps0, params)
-    rows = jnp.concatenate([J_int, J_pose], -1) if optimize_intrinsics else J_pose
+    # dr/dstate = -(1/D^2) dD/dpix . dpix/dstate + (1/z^2) dz/dstate
+    (Jpix_e, Jpix_p), (Jz_e, Jz_p) = jax.jacfwd(geom, argnums=(0, 1))(
+        eps0, params)
+    dD_coef = -jnp.where(D > 0, 1.0 / jnp.maximum(D * D, 1e-18), 0.0)
+    dz_coef = jnp.where(z != 0, 1.0 / (safe_z * safe_z), 0.0)
+
+    def chain(Jpix, Jz):
+        return (dD_coef[:, None] * (dDx[:, None] * Jpix[:, 0, :]
+                                    + dDy[:, None] * Jpix[:, 1, :])
+                + dz_coef[:, None] * Jz)
+
+    J_pose = chain(Jpix_e, Jz_e)
+    rows = (jnp.concatenate([chain(Jpix_p, Jz_p), J_pose], -1)
+            if optimize_intrinsics else J_pose)
     # invalid points carry zero weight but may hold non-finite J entries
     rows = jnp.where(ok[:, None], rows, 0.0)
     V = rows.shape[-1]
@@ -465,21 +565,40 @@ def _hb_rig_core(camera, params, extr_q, extr_t, ref_q, ref_t,
     (``intrinsics_and_pose_optimizer.cc:624-720`` rig branch).
     """
 
-    def inten_of(eps_e, eps_r, prm):
+    def geom(eps_e, eps_r, prm):
         extr = SE3.exp(eps_e).compose(SE3(extr_q, extr_t))
         ref = SE3.exp(eps_r).compose(SE3(ref_q, ref_t))
         pose = extr.compose(ref)
-        return _intensity_ok(camera, prm, pose, points, image_pyr, obs_scale,
-                             radius, dynamic_scale)
+        p_cam = pose.apply(points)
+        pix, _ = _project_full(camera, prm, p_cam)
+        if dynamic_scale:
+            fp = _footprint_scale(camera, prm, pose, points, radius)
+        else:
+            fp = jnp.zeros(points.shape[0], pix.dtype)
+        return pix, fp
 
     z6 = jnp.zeros(6, jnp.float32)
-    inten, ok = inten_of(z6, z6, params)
-    J_e, J_r, J_int = jax.jacfwd(lambda e, r_, p: inten_of(e, r_, p)[0],
-                                 argnums=(0, 1, 2))(z6, z6, params)
+    pix, _ = geom(z6, z6, params)
+    pose0 = SE3.exp(z6).compose(SE3(extr_q, extr_t)).compose(
+        SE3.exp(z6).compose(SE3(ref_q, ref_t)))
+    _, valid = _project_full(camera, params, pose0.apply(points))
+    inten, dpx, dpy, dvds, okS = _sample_pyramid_with_derivs(
+        image_pyr, pix, obs_scale)
+    ok = valid & okS
+
+    (Jpix_e, Jpix_r, Jpix_p), (Jfp_e, Jfp_r, Jfp_p) = jax.jacfwd(
+        geom, argnums=(0, 1, 2))(z6, z6, params)
+
+    def chain(Jpix, Jfp):
+        Jb = dpx[:, None] * Jpix[:, 0, :] + dpy[:, None] * Jpix[:, 1, :]
+        if dynamic_scale:
+            Jb = Jb + dvds[:, None] * Jfp
+        return Jb
+
+    blocks = [chain(Jpix_e, Jfp_e), chain(Jpix_r, Jfp_r)]
     if optimize_intrinsics:
-        J = jnp.concatenate([J_int, J_e, J_r], -1)
-    else:
-        J = jnp.concatenate([J_e, J_r], -1)
+        blocks.insert(0, chain(Jpix_p, Jfp_p))
+    J = jnp.concatenate(blocks, -1)
     return _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask)
 
 

@@ -28,25 +28,42 @@ from dataset_pipeline_tpu.ops.splat import (
 )
 
 
-def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int):
-    """Returns dict face_name -> (depth (S,S) f32, color (S,S,3) u8)."""
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _render_all_faces(pos, cols, size: int):
+    """All 6 faces in ONE dispatch (vmapped over face rotations) — the
+    remote-relay round-trip and transfer then amortize over the whole cube
+    instead of paying per face."""
     f = size / 2.0
     c = size // 2
-    out = {}
-    pos = jnp.asarray(positions, jnp.float32)
-    cols = jnp.asarray(colors if colors is not None else np.zeros((len(positions), 3), np.uint8))
-    for face, name in enumerate(CUBE_FACE_NAMES):
-        R = jnp.asarray(CUBE_FACE_ROTATIONS[face])
+    R = jnp.asarray(np.stack(CUBE_FACE_ROTATIONS), jnp.float32)
+
+    def one(Rf):
         # elementwise rotation (keep off the MXU for precision)
-        p = (
-            pos[:, None, :] * R[None, :, :]
-        ).sum(-1)
-        depth_raw, color_raw = render_points_depth_color(p, cols, size, size, f, f, c, c)
+        p = (pos[:, None, :] * Rf[None, :, :]).sum(-1)
+        depth_raw, color_raw = render_points_depth_color(
+            p, cols, size, size, f, f, c, c)
         depth = fill_depth_holes(depth_raw)
         color, valid = fill_color_from_depth(depth_raw, color_raw)
         color = flood_fill_colors(color, valid)
-        out[name] = (np.asarray(depth), np.asarray(color))
-    return out
+        return depth, color
+
+    return jax.vmap(one)(R)
+
+
+def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int):
+    """Returns dict face_name -> (depth (S,S) f32, color (S,S,3) u8)."""
+    pos = jnp.asarray(positions, jnp.float32)
+    cols = jnp.asarray(colors if colors is not None else np.zeros((len(positions), 3), np.uint8))
+    depths, colors_out = _render_all_faces(pos, cols, size)
+    depths = np.asarray(depths)
+    colors_out = np.asarray(colors_out)
+    return {name: (depths[i], colors_out[i])
+            for i, name in enumerate(CUBE_FACE_NAMES)}
 
 
 def main(argv=None) -> int:

@@ -124,3 +124,38 @@ def test_cube_faces_cover_sphere():
             y = f * p[:, 1] / z + c
         seen += ((z > 0) & (x >= 0) & (y >= 0) & (x < size) & (y < size)).astype(np.int32)
     assert (seen >= 1).all()
+
+
+def test_splats_tiered_matches_bruteforce_passes():
+    """The single-scatter + tiered-erosion splat render must equal the
+    (2R+1)^2 scatter-pass reference formulation exactly, including off-image
+    centers whose squares reach into the image."""
+    rng = np.random.RandomState(5)
+    W, H, R = 64, 48, 3
+    n = 4000
+    pts = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1.1, 1.1, n),
+                    rng.uniform(0.5, 6.0, n)], -1).astype(np.float32)
+    radii = rng.uniform(0.0, 0.25, n).astype(np.float32)
+    fx = fy = 40.0
+    cx, cy = 31.5, 23.5
+
+    got = np.asarray(render_splats_depth(
+        jnp.asarray(pts), jnp.asarray(radii), W, H, fx, fy, cx, cy,
+        max_radius_px=R))
+
+    # brute-force reference (the original pass-per-offset formulation)
+    z = pts[:, 2]
+    x = fx * pts[:, 0] / z + cx
+    y = fy * pts[:, 1] / z + cy
+    r_px = np.clip(0.5 * (fx + fy) * radii / z, 0.0, float(R))
+    ix = np.floor(x).astype(int)
+    iy = np.floor(y).astype(int)
+    exp = np.full((H, W), np.inf, np.float32)
+    for i in range(n):
+        k = int(np.ceil(r_px[i]))
+        for dy in range(-k, k + 1):
+            for dx in range(-k, k + 1):
+                jx, jy = ix[i] + dx, iy[i] + dy
+                if 0 <= jx < W and 0 <= jy < H:
+                    exp[jy, jx] = min(exp[jy, jx], z[i])
+    np.testing.assert_array_equal(got, exp)
