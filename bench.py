@@ -32,7 +32,7 @@ import time
 
 import numpy as np
 
-ICP_M = 1_000_000
+ICP_M = 8_000_000
 ICP_ITERS = 20
 
 HBM_PEAK_GBPS = {
@@ -347,6 +347,66 @@ def bench_registrator_e2e():
     return time.time() - t0
 
 
+def bench_joint_ba(reps=5):
+    """One damped Schur GN step of the joint multi-scene scan+image BA on
+    REAL residual rows (photometric descriptor + symmetric ICP), on a
+    1-device mesh of the current chip — the single-chip slice of
+    BASELINE.json's fifth config. Returns (seconds/step, row count)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from dataset_pipeline_tpu.models import cameras as cm
+    from dataset_pipeline_tpu.parallel.ba import (
+        JointScene,
+        build_joint_rows,
+        joint_ba_step,
+    )
+    from dataset_pipeline_tpu.parallel.mesh import make_data_mesh, shard_rows
+    from test_joint_ba import CX, CY, F, H, W, _build_scene
+
+    cam = cm.make_camera("PINHOLE", W, H, [F, F, CX, CY])
+    rng = np.random.RandomState(3)
+    scenes = []
+    for si, (seed, phase) in enumerate([(10, 0.0), (20, 0.7)]):
+        scan1_delta = 0.008 * rng.randn(6).astype(np.float32)
+        pose_deltas = 0.003 * rng.randn(2, 6).astype(np.float32)
+        problem, icp, _, _ = _build_scene(seed, cam, phase, scan1_delta,
+                                          pose_deltas)
+        scenes.append(JointScene(problem, 0, icp, icp_weight=30.0))
+    rows, r, w, n_keep, m = build_joint_rows(scenes, obs_scale=0.0)
+
+    mesh = make_data_mesh()
+    nd = mesh.devices.size
+    pad = (-len(rows)) % nd
+    inputs = (
+        shard_rows(mesh, jnp.asarray(np.pad(rows, ((0, pad), (0, 0))))),
+        shard_rows(mesh, jnp.asarray(np.pad(r, (0, pad)))),
+        shard_rows(mesh, jnp.asarray(np.pad(w, (0, pad)))),
+    )
+    specs = (P("data"), P("data"), P("data"))
+
+    def row_fn(rows, r, w):
+        return rows, r, w
+
+    def step():
+        xk, xi, cost = joint_ba_step(mesh, row_fn, inputs, specs, n_keep, m,
+                                     lam=1e-3)
+        jax.block_until_ready(xk)
+        return xk
+
+    step()  # compile
+    t0 = time.time()
+    for _ in range(reps):
+        step()
+    return (time.time() - t0) / reps, len(rows)
+
+
 def main():
     import jax
 
@@ -383,6 +443,13 @@ def main():
             errors[name] = repr(e)
 
     try:
+        ba_s, ba_rows = bench_joint_ba()
+        metrics["joint_ba_step_s"] = round(ba_s, 4)
+        metrics["joint_ba_rows"] = ba_rows
+    except Exception as e:  # pragma: no cover
+        errors["joint_ba"] = repr(e)
+
+    try:
         cpu = bench_numpy_cpu_schedule()
     except Exception as e:  # pragma: no cover
         errors["cpu_baseline"] = repr(e)
@@ -391,7 +458,7 @@ def main():
     result = {
         "metric": "icp_gn_correspondences_per_s",
         "value": round(corr_iters_per_s, 1),
-        "unit": "corr*iters/s (20-iteration inner LM schedule, 1M corr; "
+        "unit": "corr*iters/s (20-iteration inner LM schedule, 8M corr; "
                 "moment-matrix formulation)",
         "vs_baseline": round(corr_iters_per_s / cpu, 3),
         "metrics": metrics,
