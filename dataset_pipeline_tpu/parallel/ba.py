@@ -17,7 +17,7 @@ work); designed from the mesh/collective model.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, List, Tuple
 
 import jax
@@ -64,13 +64,11 @@ def schur_eliminate_images(H, b, n_keep: int, num_images: int, lam=0.0):
     return S, rhs, back
 
 
-def make_sharded_hb(mesh: Mesh, row_fn: Callable, n_vars: int, axis: str = "data"):
-    """Build a psum-reduced H,b accumulator over sharded residual inputs.
-
-    ``row_fn(*shard_inputs) -> (rows (R, n_vars), r (R,), w (R,))`` evaluated
-    per device on its shard; returns a function producing replicated
-    (H (n_vars,n_vars), b (n_vars,), cost).
-    """
+@lru_cache(maxsize=64)
+def _sharded_hb_jit(mesh: Mesh, row_fn: Callable, axis: str, in_specs):
+    """Compiled shard_map'd H,b accumulator, cached on (mesh, row_fn, axis,
+    in_specs) so repeated BA steps reuse one executable instead of
+    re-tracing (and re-compiling) per call."""
 
     def local(*inputs):
         rows, r, w = row_fn(*inputs)
@@ -86,11 +84,20 @@ def make_sharded_hb(mesh: Mesh, row_fn: Callable, n_vars: int, axis: str = "data
         cost = jnp.sum(r_w * r_w)
         return jax.lax.psum(H, axis), jax.lax.psum(b, axis), jax.lax.psum(cost, axis)
 
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P(), P())))
+
+
+def make_sharded_hb(mesh: Mesh, row_fn: Callable, n_vars: int, axis: str = "data"):
+    """Build a psum-reduced H,b accumulator over sharded residual inputs.
+
+    ``row_fn(*shard_inputs) -> (rows (R, n_vars), r (R,), w (R,))`` evaluated
+    per device on its shard; returns a function producing replicated
+    (H (n_vars,n_vars), b (n_vars,), cost).
+    """
+
     def wrapper(*inputs, in_specs):
-        fn = jax.shard_map(
-            local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P(), P())
-        )
-        return fn(*inputs)
+        return _sharded_hb_jit(mesh, row_fn, axis, tuple(in_specs))(*inputs)
 
     return wrapper
 

@@ -72,3 +72,30 @@ def sharded_icp_hb(mesh: Mesh, q, t, ps, ns, pt, nt, src_id, tgt_id, w,
         out_specs=(rep, rep, rep),
     )
     return fn(q, t, ps, ns, pt, nt, src_id, tgt_id, w)
+
+
+def sharded_moment_gram(mesh: Mesh, ps, ns, pt, nt, w, axis=None):
+    """Monomial moment Gram P = sum m m^T for ONE correspondence group with
+    rows sharded over ``mesh`` (the multi-chip path of the DEFAULT moment
+    ICP inner loop, ``icp/moments.py``): each device accumulates its local
+    42x42 Gram at HIGHEST precision and one tiny psum replicates P — after
+    which the entire inner LM schedule is O(1) host math, independent of
+    mesh size.
+
+    Row count must be divisible by the mesh size (pad with w=0 rows, which
+    vanish from the Gram). ``axis`` defaults to all mesh axes (DCN + ICI on
+    a 2-axis host/device mesh). Returns replicated (42,42).
+    """
+    from dataset_pipeline_tpu.icp.moments import moment_gram_xla
+
+    if axis is None:
+        names = tuple(mesh.axis_names)
+        axis = names[0] if len(names) == 1 else names
+
+    def local(ps, ns, pt, nt, w):
+        return jax.lax.psum(moment_gram_xla(ps, ns, pt, nt, w), axis)
+
+    sh = P(axis)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(sh, sh, sh, sh, sh),
+                       out_specs=P())
+    return fn(ps, ns, pt, nt, w)

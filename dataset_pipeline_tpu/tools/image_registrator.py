@@ -427,6 +427,10 @@ def main(argv=None) -> int:
             "image_scale": o.current_scale,
             "scale_factor": scans.scale_factor,
         }
+        if o.obs_cache_hit_log:
+            # drift-guardrail observability: last measured core hit rate of
+            # the observations cache at this scale (see obs_cache_hit_rate)
+            meta["obs_cache_hit_rate"] = round(o.obs_cache_hit_log[-1], 5)
         meta.update(dict(line.split(" ", 1) for line in params.dump().splitlines()))
         export_state(out, o, state, meta)
         if rig_configs:

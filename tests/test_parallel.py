@@ -144,3 +144,51 @@ def test_initialize_distributed_noop_single_process():
     from dataset_pipeline_tpu.parallel.mesh import initialize_distributed
 
     assert initialize_distributed() is False
+
+
+def test_sharded_moment_gram_matches_single_device():
+    """psum-reduced monomial Gram == single-device Gram (the sharded path of
+    the default moment ICP inner loop)."""
+    from dataset_pipeline_tpu.icp.moments import (
+        hb_cost_from_moments,
+        moment_gram_xla,
+        se3_exp_np,
+    )
+    from dataset_pipeline_tpu.parallel.normal_equations import (
+        sharded_moment_gram,
+    )
+
+    rng = np.random.RandomState(9)
+    mesh = make_data_mesh()
+    nd = mesh.devices.size
+    M = 1024 * nd
+    ps = rng.randn(M, 3).astype(np.float32)
+    ns = rng.randn(M, 3).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    pt = (ps + 0.03 * rng.randn(M, 3)).astype(np.float32)
+    nt = ns.copy()
+    w = rng.rand(M).astype(np.float32)
+
+    P_sh = np.asarray(sharded_moment_gram(
+        mesh, jnp.asarray(ps), jnp.asarray(ns), jnp.asarray(pt),
+        jnp.asarray(nt), jnp.asarray(w)), np.float64)
+    P_ref = np.asarray(moment_gram_xla(
+        jnp.asarray(ps), jnp.asarray(ns), jnp.asarray(pt), jnp.asarray(nt),
+        jnp.asarray(w)), np.float64)
+    np.testing.assert_allclose(P_sh, P_ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(P_ref).max())
+
+    # and the downstream H,b agree with the direct sharded accumulation
+    q = np.tile(np.asarray([1.0, 0, 0, 0]), (2, 1))
+    t = np.zeros((2, 3))
+    q[1], t[1] = se3_exp_np(np.asarray([0.01, -0.02, 0.005, 0.004, -0.003, 0.002]))
+    H_m, b_m, cost_m = hb_cost_from_moments([P_sh], [(0, 1)], q, t, 2)
+    from dataset_pipeline_tpu.parallel.normal_equations import sharded_icp_hb
+
+    H_d, b_d, cost_d = sharded_icp_hb(
+        mesh, jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32),
+        jnp.asarray(ps), jnp.asarray(ns), jnp.asarray(pt), jnp.asarray(nt),
+        jnp.zeros(M, jnp.int32), jnp.ones(M, jnp.int32), jnp.asarray(w), 2)
+    scale = np.abs(np.asarray(H_d)).max()
+    np.testing.assert_allclose(H_m, np.asarray(H_d), atol=3e-4 * scale)
+    np.testing.assert_allclose(cost_m, float(cost_d), rtol=1e-4)
