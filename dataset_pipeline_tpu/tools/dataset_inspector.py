@@ -86,6 +86,12 @@ def main(argv=None) -> int:
     p.add_argument("--transfer_target", default="",
                    help="target image name for label transfer")
     p.add_argument("--transfer_eval_obs", action="store_true")
+    p.add_argument("--nudge_image", default="",
+                   help="image whose pose to nudge (the GUI's arrow "
+                        "buttons, gui_main_window.cc:850-865)")
+    p.add_argument("--nudge", default="",
+                   help="'tx ty tz pitch yaw roll' se(3) delta applied as "
+                        "exp(delta) . image_T_global (camera frame)")
     # identical knob set to ImageRegistrator (README.md:770-771; the
     # reference passes the same opt::Parameters flags to both tools)
     Parameters().add_to_argparser(p)
@@ -133,6 +139,23 @@ def main(argv=None) -> int:
         save_colmap_state(args.state_path, state)
         print(f"localized {im.name}: pose refined from {len(corr)} "
               "correspondences, state saved")
+
+    if args.nudge_image:
+        from dataset_pipeline_tpu.icp.moments import quat_mul_np, se3_exp_np
+
+        im = find_image(args.nudge_image)
+        d = np.asarray([float(v) for v in args.nudge.split()])
+        if len(d) != 6:
+            raise SystemExit("--nudge needs 6 values: tx ty tz pitch yaw roll")
+        dq, dt = se3_exp_np(d)
+        from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
+
+        Rd = quat_to_matrix_np(dq)
+        im.qvec = quat_mul_np(dq, np.asarray(im.qvec, np.float64))
+        im.qvec /= np.linalg.norm(im.qvec)
+        im.tvec = Rd @ np.asarray(im.tvec, np.float64) + dt
+        save_colmap_state(args.state_path, state)
+        print(f"nudged {im.name} by {d.tolist()}, state saved")
 
     if args.transfer_source and args.transfer_target:
         from dataset_pipeline_tpu.photometric.localize import transfer_labels

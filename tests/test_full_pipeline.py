@@ -266,3 +266,17 @@ def test_full_pipeline(tmp_path):
                       "--correspondences", f"{root}/corr.txt"]) == 0
     relocalized = cio.read_model(f"{root}/loc_state")
     assert np.linalg.norm(relocalized.images[1].tvec - true_tvec) < 1e-3
+
+    # pose nudge (the GUI arrow buttons, gui_main_window.cc:850-865):
+    # exp(delta) . image_T_global in the camera frame
+    before = cio.read_model(f"{root}/loc_state").images[1]
+    assert insp_main(["--scan_alignment_path", f"{root}/scene.mlp",
+                      "--state_path", f"{root}/loc_state",
+                      "--output_folder_path", f"{root}/inspect",
+                      "--modes", "",
+                      "--nudge_image", "dslr/v0.png",
+                      "--nudge", "0.01 0 0 0 0 0"]) == 0
+    after = cio.read_model(f"{root}/loc_state").images[1]
+    np.testing.assert_allclose(after.tvec - before.tvec,
+                               [0.01, 0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(after.qvec, before.qvec, atol=1e-9)
