@@ -347,22 +347,38 @@ class PointToPlaneICP:
                 compute_group_moments,
                 icp_lm_from_moments,
             )
+            from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
 
+            # Center the correspondences: monomial Grams of far-from-origin
+            # clouds (production scans sit ~10-100 m out) lose ~1e-3 of the
+            # COST to f32 cancellation, which corrupts LM accept/reject near
+            # convergence. Subtracting one global centroid is an exact
+            # reparametrization (residual values unchanged; the solved
+            # correction is conjugated back below), and conditions the
+            # normal equations better as a bonus.
+            center = 0.5 * (corr["ps"].mean(0, dtype=np.float64)
+                            + corr["pt"].mean(0, dtype=np.float64))
+            c32 = center.astype(np.float32)
             groups_data = []
             pairs = []
             ofs = 0
             for (s, tg, cnt) in corr["groups"]:
                 sl = slice(ofs, ofs + cnt)
                 groups_data.append({
-                    "ps": corr["ps"][sl], "ns": corr["ns"][sl],
-                    "pt": corr["pt"][sl], "nt": corr["nt"][sl],
+                    "ps": corr["ps"][sl] - c32, "ns": corr["ns"][sl],
+                    "pt": corr["pt"][sl] - c32, "nt": corr["nt"][sl],
                 })
                 pairs.append((s, tg))
                 ofs += cnt
             P = compute_group_moments(groups_data)
             q, t, cost = icp_lm_from_moments(
                 P, pairs, C, max_iterations, convergence_threshold)
-            return np.asarray(q), np.asarray(t), float(cost)
+            # un-center: X(p) = c + R(p - c) + t  =>  t_global = t + c - R c
+            t = np.asarray(t, np.float64)
+            for e in range(C):
+                R_e = quat_to_matrix_np(np.asarray(q[e], np.float64))
+                t[e] = t[e] + center - R_e @ center
+            return np.asarray(q), t, float(cost)
 
         M = len(corr["sid"])
         B = _bucket(M)

@@ -149,3 +149,43 @@ def test_moment_lm_converges_like_direct():
     np.testing.assert_allclose(T_m, T_d, atol=1e-4)
     # both must have actually moved the cloud back toward the base frame
     assert np.abs(T_m[:3, 3]).max() < 0.05
+
+
+def test_moment_icp_far_from_origin():
+    """Production scans sit tens of meters from the origin; the centered
+    moment path must recover poses there as accurately as at the origin
+    (uncentered f32 monomial Grams lose ~1e-3 of the cost to cancellation
+    at offset ~100, corrupting LM accept/reject)."""
+    rng = np.random.RandomState(11)
+    base0 = rng.rand(3000, 3).astype(np.float32) * 2
+    base0[:, 2] = 0.2 * np.sin(4 * base0[:, 0]) + 0.1 * np.cos(3 * base0[:, 1])
+    n = np.zeros_like(base0)
+    n[:, 0] = -0.8 * np.cos(4 * base0[:, 0])
+    n[:, 1] = 0.3 * np.sin(3 * base0[:, 1])
+    n[:, 2] = 1.0
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+
+    dq, dt = se3_exp_np(np.r_[0.01 * np.ones(3) * [1, -1, 1],
+                              0.01 * np.ones(3) * [-1, 1, 1]])
+    R = quat_to_matrix_np(dq)
+
+    errs = {}
+    for offset in (0.0, 100.0):
+        base = base0 + np.asarray([offset, offset * 0.5, 0], np.float32)
+        # perturb ABOUT the cloud centroid (a far scan misaligned in place,
+        # not swung around the world origin)
+        c = base.mean(0, dtype=np.float64)
+        p1 = (((base - c) @ R.T) + c + dt).astype(np.float32)
+        n1 = (n @ R.T).astype(np.float32)
+        icp = PointToPlaneICP()
+        icp.add_point_cloud(base, n)
+        icp.add_point_cloud(p1, n1)
+        res = icp.run(max_correspondence_distance=0.3, max_num_iterations=20,
+                      convergence_threshold_max_movement=1e-10)
+        T = res.poses[1]
+        # recovered: T(p1) ~ base, i.e. T = [R^T, c - R^T (c + dt)]
+        t_exp = c - R.T @ (c + dt)
+        errs[offset] = max(np.abs(T[:3, :3] - R.T).max(),
+                           np.abs(T[:3, 3] - t_exp).max())
+    assert errs[0.0] < 2e-4, errs
+    assert errs[100.0] < 1e-3, errs
