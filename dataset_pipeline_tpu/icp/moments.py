@@ -247,7 +247,8 @@ def quat_mul_np(a, b):
 def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
                         max_iterations: int = 150,
                         convergence_threshold: float = 1e-7,
-                        lam0: float = 0.1):
+                        lam0: float = 0.1, center=None, cost_fn=None,
+                        trunc_rel: float = 1e-4, basis=None):
     """The ENTIRE inner LM loop from precomputed moment matrices.
 
     Mirrors ``PointToPlaneICPImpl::compute``
@@ -256,6 +257,37 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
     decreases, lambda halve/double with 10 tries, stop when no update
     applies or |x| < threshold.  All math f64 on host; per-iteration cost is
     O(groups * 42^2) regardless of correspondence count.
+
+    ``center``: if the moment matrices were accumulated from CENTERED
+    correspondences (points minus ``center`` — the f32-precision guard for
+    far-from-origin clouds), pass it here: the state stays the GLOBAL
+    correction, H,b are evaluated at the conjugated centered state and
+    converted back to the ORIGIN tangent basis with the exact block map
+    G^-1 = [[I,0],[ [c]x, I ]] per cloud, so the damped LM trajectory is
+    IDENTICAL to the uncentered algorithm (damping is basis-dependent) —
+    only the accumulation precision differs.
+
+    ``cost_fn(q, t) -> float``: exact accept-test cost. The moment-form
+    cost carries an ABSOLUTE f32 noise floor of ~1e-7 * ||P|| (it can even
+    go negative near the optimum), which breaks accept/reject once the true
+    cost falls below it; a direct residual evaluation is RELATIVELY
+    accurate there. H,b always come from the moments (1e-7 relative). When
+    omitted, the moment cost is used (fine far from convergence, e.g. the
+    fused bench schedule).
+
+    ``trunc_rel``: steps along eigendirections of the gauge-fixed H with
+    curvature below ``trunc_rel * lambda_max`` are ZEROED. In the direct
+    accumulation a null direction (e.g. in-plane rotation of a plane) has
+    exactly zero gradient/curvature so LM never moves there; in the moment
+    form both are ~1e-7*||H|| noise, and undamped null components would
+    random-walk. Genuinely small-curvature directions are polished by the
+    caller's exact direct finisher.
+
+    ``basis``: optional (n_var, k) f64 orthonormal columns; when given,
+    steps are confined EXACTLY to span(basis) (and ``trunc_rel`` is
+    ignored). The caller derives it from one DIRECTLY-accumulated H, whose
+    structural zeros are exact — this removes the residual eigenvector
+    leakage of truncating the noisy moment H itself.
 
     Returns (q (C,4) f64, t (C,3) f64, final_cost).
     """
@@ -267,22 +299,58 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
     lam = lam0
     n_var = 6 * (C - 1)
 
-    def eval_G(q_, t_):
-        return hb_cost_from_moments(P_groups, group_pairs, q_, t_, C)
+    if center is not None:
+        center = np.asarray(center, np.float64)
+        Ginv_blk = np.eye(6)
+        Ginv_blk[3:6, 0:3] = _skew(center)
+        Ginv = np.kron(np.eye(C), Ginv_blk)
 
-    H, b, cost = eval_G(q, t)
+    def eval_G(q_, t_):
+        if center is None:
+            return hb_cost_from_moments(P_groups, group_pairs, q_, t_, C)
+        # conjugate the global correction into the centered frame:
+        # X' = T_{-c} X T_{c}  =>  R' = R, t' = R c + t - c
+        tc = np.stack([quat_to_matrix_np(q_[e]) @ center + t_[e] - center
+                       for e in range(C)])
+        Hc, bc, cost = hb_cost_from_moments(P_groups, group_pairs, q_, tc, C)
+        return Ginv @ Hc @ Ginv.T, Ginv @ bc, cost
+
+    if cost_fn is None:
+        cost_fn = lambda q_, t_: eval_G(q_, t_)[2]  # noqa: E731
+
+    H, b, _ = eval_G(q, t)
+    cost = cost_fn(q, t)
     if n_var == 0:
         return q, t, cost
+    if basis is not None and basis.shape[1] == 0:
+        return q, t, cost  # fully rank-deficient: nothing the LM may move
+
     for _ in range(max_iterations):
         Hv, bv = H[6:, 6:], b[6:]
+        if basis is not None:
+            Hp = basis.T @ Hv @ basis
+            bp = basis.T @ bv
+            k = basis.shape[1]
+        else:
+            try:
+                evals, V = np.linalg.eigh(0.5 * (Hv + Hv.T))
+            except np.linalg.LinAlgError:
+                break
+            lam_max = max(float(evals.max()), 1e-30)
+            keep = evals > trunc_rel * lam_max
+            bb = V.T @ bv
         applied = False
         x = None
         for _ in range(10):
-            try:
-                x = np.linalg.solve(Hv + lam * np.eye(n_var), bv)
-            except np.linalg.LinAlgError:
-                lam *= 2.0
-                continue
+            if basis is not None:
+                try:
+                    xp = np.linalg.solve(Hp + lam * np.eye(k), bp)
+                except np.linalg.LinAlgError:
+                    lam *= 2.0
+                    continue
+                x = basis @ xp
+            else:
+                x = V @ np.where(keep, bb / (evals + lam), 0.0)
             qc = q.copy()
             tc = t.copy()
             for c in range(1, C):
@@ -293,9 +361,10 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
                 qc[c] = quat_mul_np(dq, q[c])
                 qc[c] /= np.linalg.norm(qc[c])
                 tc[c] = Rd @ t[c] + dt
-            Hn, bn, new_cost = eval_G(qc, tc)
+            new_cost = cost_fn(qc, tc)
             if new_cost < cost:
-                q, t, H, b, cost = qc, tc, Hn, bn, new_cost
+                q, t, cost = qc, tc, new_cost
+                H, b, _ = eval_G(q, t)
                 lam *= 0.5
                 applied = True
                 break

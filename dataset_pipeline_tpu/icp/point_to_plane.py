@@ -342,43 +342,6 @@ class PointToPlaneICP:
         Returns per-entry correction SE3 (q, t) as numpy arrays.
         """
         C = num_entries
-        if self.use_moments and not self.use_device_lm:
-            from dataset_pipeline_tpu.icp.moments import (
-                compute_group_moments,
-                icp_lm_from_moments,
-            )
-            from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
-
-            # Center the correspondences: monomial Grams of far-from-origin
-            # clouds (production scans sit ~10-100 m out) lose ~1e-3 of the
-            # COST to f32 cancellation, which corrupts LM accept/reject near
-            # convergence. Subtracting one global centroid is an exact
-            # reparametrization (residual values unchanged; the solved
-            # correction is conjugated back below), and conditions the
-            # normal equations better as a bonus.
-            center = 0.5 * (corr["ps"].mean(0, dtype=np.float64)
-                            + corr["pt"].mean(0, dtype=np.float64))
-            c32 = center.astype(np.float32)
-            groups_data = []
-            pairs = []
-            ofs = 0
-            for (s, tg, cnt) in corr["groups"]:
-                sl = slice(ofs, ofs + cnt)
-                groups_data.append({
-                    "ps": corr["ps"][sl] - c32, "ns": corr["ns"][sl],
-                    "pt": corr["pt"][sl] - c32, "nt": corr["nt"][sl],
-                })
-                pairs.append((s, tg))
-                ofs += cnt
-            P = compute_group_moments(groups_data)
-            q, t, cost = icp_lm_from_moments(
-                P, pairs, C, max_iterations, convergence_threshold)
-            # un-center: X(p) = c + R(p - c) + t  =>  t_global = t + c - R c
-            t = np.asarray(t, np.float64)
-            for e in range(C):
-                R_e = quat_to_matrix_np(np.asarray(q[e], np.float64))
-                t[e] = t[e] + center - R_e @ center
-            return np.asarray(q), t, float(cost)
 
         M = len(corr["sid"])
         B = _bucket(M)
@@ -410,6 +373,61 @@ class PointToPlaneICP:
             )
             cost = float(_icp_cost(q, t, ps, ns, pt, nt, sid, tid, w, 65536))
             return np.asarray(q), np.asarray(t), cost
+
+        if self.use_moments:
+            # Moment-matrix ACCELERATOR (icp/moments.py): one monomial Gram
+            # pass powers O(1)-per-iteration LM steps, with accept tests
+            # against the exactly evaluated residual cost; the direct LM
+            # below finishes from the accelerated state. GATED on
+            # conditioning: one directly accumulated H at the linearization
+            # point (structural zeros exact) must be well-conditioned
+            # (lambda_min > 1e-4 lambda_max, i.e. the ~1e-7*||H|| moment
+            # noise is provably small in EVERY direction). Degenerate
+            # geometries — e.g. a plane whose in-plane motions are pinned
+            # by a single off-plane point, where even tiny accepted noise
+            # steps would unlock null-space drift — automatically take the
+            # exact direct path alone.
+            from dataset_pipeline_tpu.icp.moments import (
+                compute_group_moments,
+                icp_lm_from_moments,
+            )
+
+            H0, _, _ = _icp_hb_cost(q, t, ps, ns, pt, nt, sid, tid, w, C)
+            Hv0 = np.asarray(H0, np.float64)[6:, 6:]
+            evals, V = np.linalg.eigh(0.5 * (Hv0 + Hv0.T))
+            lam_max = max(float(evals.max()), 1e-30)
+            well_conditioned = bool(evals.min() > 1e-4 * lam_max)
+            basis = np.ascontiguousarray(V)
+            if well_conditioned:
+                # center the data: far-from-origin clouds lose moment
+                # precision to f32 cancellation (see icp_lm_from_moments)
+                center = 0.5 * (corr["ps"].mean(0, dtype=np.float64)
+                                + corr["pt"].mean(0, dtype=np.float64))
+                c32 = center.astype(np.float32)
+                groups_data = []
+                pairs = []
+                ofs = 0
+                for (s, tg, cnt) in corr["groups"]:
+                    sl = slice(ofs, ofs + cnt)
+                    groups_data.append({
+                        "ps": corr["ps"][sl] - c32, "ns": corr["ns"][sl],
+                        "pt": corr["pt"][sl] - c32, "nt": corr["nt"][sl],
+                    })
+                    pairs.append((s, tg))
+                    ofs += cnt
+                P = compute_group_moments(groups_data)
+
+                def exact_cost(q_, t_):
+                    return float(_icp_cost(
+                        jnp.asarray(np.asarray(q_, np.float32)),
+                        jnp.asarray(np.asarray(t_, np.float32)),
+                        ps, ns, pt, nt, sid, tid, w))
+
+                qm, tm, _ = icp_lm_from_moments(
+                    P, pairs, C, max_iterations, convergence_threshold,
+                    center=center, cost_fn=exact_cost, basis=basis)
+                q = jnp.asarray(np.asarray(qm, np.float32))
+                t = jnp.asarray(np.asarray(tm, np.float32))
 
         for it in range(max_iterations):
             H, b, cost = _icp_hb_cost(q, t, ps, ns, pt, nt, sid, tid, w, C)
