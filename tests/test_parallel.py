@@ -192,3 +192,34 @@ def test_sharded_moment_gram_matches_single_device():
     scale = np.abs(np.asarray(H_d)).max()
     np.testing.assert_allclose(H_m, np.asarray(H_d), atol=3e-4 * scale)
     np.testing.assert_allclose(cost_m, float(cost_d), rtol=1e-4)
+
+
+def test_host_device_mesh_moment_gram_matches_single_device():
+    """The moment-Gram psum spanning a 2-axis ("hosts","devices") mesh (DCN
+    across hosts + ICI within) equals the single-device Gram — the
+    multi-host slice of the default ICP accelerator path."""
+    from dataset_pipeline_tpu.icp.moments import moment_gram_xla
+    from dataset_pipeline_tpu.parallel.mesh import make_host_device_mesh
+    from dataset_pipeline_tpu.parallel.normal_equations import (
+        sharded_moment_gram,
+    )
+
+    mesh = make_host_device_mesh(2, 4)
+    M = 8 * 64
+    ps = RNG.randn(M, 3).astype(np.float32)
+    ns = RNG.randn(M, 3).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    pt = (ps + 0.02 * RNG.randn(M, 3)).astype(np.float32)
+    nt = ns.copy()
+    w = RNG.rand(M).astype(np.float32)
+
+    def sh(x):
+        return shard_rows(mesh, jnp.asarray(x))
+
+    P_sh = np.asarray(sharded_moment_gram(
+        mesh, sh(ps), sh(ns), sh(pt), sh(nt), sh(w)), np.float64)
+    P_ref = np.asarray(moment_gram_xla(
+        jnp.asarray(ps), jnp.asarray(ns), jnp.asarray(pt), jnp.asarray(nt),
+        jnp.asarray(w)), np.float64)
+    np.testing.assert_allclose(P_sh, P_ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(P_ref).max())
