@@ -311,6 +311,11 @@ def _raster_color_tier(pix, z, tri_valid, faces, vert_cols, width: int,
         ok = inside & (px >= 0) & (py >= 0) & (px < width) & (py < height)
         flat = jnp.where(ok, py * width + px, -1)
         dwin = depth_flat[jnp.clip(flat, 0, depth_flat.shape[0] - 1)]
+        # NOTE: with coplanar/coincident triangles several faces can fall
+        # within the tolerance and the colliding .at[].set is last-write
+        # nondeterministic — acceptable for this visualization output; a
+        # deterministic variant would scatter-min a packed (depth, face-id)
+        # key and gather colors by winning face (see ops/splat.py).
         winner = ok & jnp.isfinite(dwin) & (
             jnp.abs(zpix - dwin) <= 1e-4 * jnp.maximum(dwin, 1e-6))
         # perspective-correct color: interpolate c/z and 1/z

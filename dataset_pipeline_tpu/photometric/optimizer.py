@@ -221,9 +221,15 @@ def _sample_pyramid(image_pyr: List, pix0, obs_scale):
     image_pyr: list of (H_s,W_s) single-image planes, scale 0 first.
     """
     L = len(image_pyr)
+    flat, Hs, Ws, off = _pyramid_flat_meta(image_pyr)
+    if L == 1:
+        # no coarser bracket exists — plain bilinear of level 0 (a clip to
+        # [1, L-1] would wrap si-1 to -1 into the per-level meta arrays)
+        zero = jnp.zeros(pix0.shape[:-1], jnp.int32)
+        v, _, _, ok = _bilinear_flat(flat, Hs, Ws, off, zero, pix0)
+        return v, ok
     si = jnp.clip(jnp.floor(obs_scale).astype(jnp.int32) + 1, 1, L - 1)
     z = 1.0 - (obs_scale - jnp.floor(obs_scale))
-    flat, Hs, Ws, off = _pyramid_flat_meta(image_pyr)
     vc, _, _, okc = _bilinear_flat(flat, Hs, Ws, off, si, pix0)  # coarser
     vf, _, _, okf = _bilinear_flat(flat, Hs, Ws, off, si - 1, pix0)  # finer
     return (1.0 - z) * vc + z * vf, okc & okf
@@ -391,9 +397,14 @@ def _sample_pyramid_with_derivs(image_pyr: List, pix0, obs_scale):
     contributes d/dscale = -d/dz.
     """
     L = len(image_pyr)
+    flat, Hs, Ws, off = _pyramid_flat_meta(image_pyr)
+    if L == 1:
+        # single-level pyramid: plain bilinear of level 0, d/dscale = 0
+        zero = jnp.zeros(pix0.shape[:-1], jnp.int32)
+        v, dx, dy, ok = _bilinear_flat(flat, Hs, Ws, off, zero, pix0)
+        return v, dx, dy, jnp.zeros_like(v), ok
     si = jnp.clip(jnp.floor(obs_scale).astype(jnp.int32) + 1, 1, L - 1)
     z = 1.0 - (obs_scale - jnp.floor(obs_scale))
-    flat, Hs, Ws, off = _pyramid_flat_meta(image_pyr)
     vc, dxc, dyc, okc = _bilinear_flat(flat, Hs, Ws, off, si, pix0)
     vf, dxf, dyf, okf = _bilinear_flat(flat, Hs, Ws, off, si - 1, pix0)
     value = (1.0 - z) * vc + z * vf
@@ -1016,6 +1027,9 @@ class PhotometricOptimizer:
         if load_path is not None:
             cache = ObservationsCache.load(load_path, self.p.levels)
             if cache is not None:
+                # remember where the cache lives so a drift-triggered rebuild
+                # (_check_obs_cache_drift) overwrites the stale file on disk
+                self._obs_cache_save_path = save_path or load_path
                 self.obs_cache = cache
                 self._frozen_vis = None
                 self._build_batches()

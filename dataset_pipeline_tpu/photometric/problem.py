@@ -190,11 +190,22 @@ def determine_point_neighbors(points: np.ndarray, scan_indices: np.ndarray,
 
 
 def gradient_filter_mask(intensities: np.ndarray, neighbors: np.ndarray,
-                         min_mean_diff: float = DEFAULT_MIN_MEAN_INTENSITY_DIFFERENCE):
+                         min_mean_diff: float = DEFAULT_MIN_MEAN_INTENSITY_DIFFERENCE,
+                         dilate: bool = True):
     """Keep points whose mean |descriptor| is at least ``min_mean_diff``
-    (the reference's gradient-magnitude filter, ``opt/problem.cc:251-312``)."""
+    (the reference's gradient-magnitude filter, ``opt/problem.cc:251-312``).
+
+    Pass 2 (``dilate``, ``opt/problem.cc:282-293``): every K-neighbor of a
+    kept point is also kept — this dilates the kept regions slightly, giving
+    the optimizer a larger convergence basin around intensity edges.
+    """
     d = intensities[neighbors] - intensities[:, None]
-    return np.abs(d).mean(1) >= min_mean_diff
+    keep = np.abs(d).mean(1) >= min_mean_diff
+    if not dilate:
+        return keep
+    dilated = keep.copy()
+    dilated[neighbors[keep].ravel()] = True
+    return dilated
 
 
 def build_photo_level(level: PointLevel, k: int = DEFAULT_NEIGHBOR_COUNT,

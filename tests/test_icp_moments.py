@@ -98,6 +98,29 @@ def test_moments_jax_matches_numpy():
     np.testing.assert_allclose(float(c_j), c_np, rtol=2e-4)
 
 
+def test_moments_jax_many_groups():
+    """C=6 -> 30 ordered pair groups: the batched (vmapped) group path must
+    match the f64 host path without unrolling per group."""
+    from dataset_pipeline_tpu.icp.moments import hb_cost_from_moments_jax
+
+    rng = np.random.RandomState(23)
+    C = 6
+    groups, pairs, _ = _random_groups(rng, C, per_group=57)
+    assert len(pairs) == 30
+    q, t = _random_poses(rng, C)
+    P = compute_group_moments(groups, force_xla=True)
+    H_np, b_np, c_np = hb_cost_from_moments(P, pairs, q, t, C)
+    Pj = jnp.asarray(np.stack([np.pad(p, ((0, 6), (0, 6))) for p in P]),
+                     jnp.float32)
+    H_j, b_j, c_j = hb_cost_from_moments_jax(
+        Pj, pairs, jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32), C)
+    scale = np.abs(H_np).max()
+    np.testing.assert_allclose(np.asarray(H_j), H_np, atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(b_j), b_np,
+                               atol=2e-4 * max(np.abs(b_np).max(), 1e-9))
+    np.testing.assert_allclose(float(c_j), c_np, rtol=2e-4)
+
+
 def test_moment_pallas_interpret_matches_xla():
     rng = np.random.RandomState(3)
     groups, pairs, _ = _random_groups(rng, C=2, per_group=100)

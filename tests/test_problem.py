@@ -85,10 +85,41 @@ def test_gradient_filter_mask():
     # point1: |0|,|10| -> mean 5
     # point2: |-10|,|-10| -> 10  (kept)
     # point3: |-100|,|-100| -> 100 (kept)
-    keep = gradient_filter_mask(inten, nbr, min_mean_diff=5.0)
+    keep = gradient_filter_mask(inten, nbr, min_mean_diff=5.0, dilate=False)
     assert keep.tolist() == [True, True, True, True]
-    keep6 = gradient_filter_mask(inten, nbr, min_mean_diff=6.0)
+    keep6 = gradient_filter_mask(inten, nbr, min_mean_diff=6.0, dilate=False)
     assert keep6.tolist() == [False, False, True, True]
+    # dilation pass (``opt/problem.cc:282-293``): 2 and 3 both list 0,1 as
+    # neighbors, so every point survives once neighbors of kept points are kept
+    keep6d = gradient_filter_mask(inten, nbr, min_mean_diff=6.0)
+    assert keep6d.tolist() == [True, True, True, True]
+
+
+def test_gradient_filter_dilation_sharp_edge():
+    """Sharp intensity edge in a flat cloud: pass 1 keeps only the two point
+    rows straddling the edge; the dilation pass (``opt/problem.cc:282-293``)
+    additionally keeps their K-neighbors one row further out, so the two
+    outputs MUST differ and the dilated set must be a strict superset."""
+    w = 12
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pts = np.stack([xs.ravel(), ys.ravel(), np.zeros(w * w, np.float32)], 1)
+    inten = np.where(xs.ravel() < w // 2, 50.0, 200.0).astype(np.float32)
+    scans = np.zeros(w * w, np.uint8)
+    nbr = determine_point_neighbors(pts, scans, k=4, num_candidates=8, seed=0)
+    keep1 = gradient_filter_mask(inten, nbr, min_mean_diff=5.0, dilate=False)
+    keep2 = gradient_filter_mask(inten, nbr, min_mean_diff=5.0, dilate=True)
+    assert keep1.any() and not keep1.all()
+    # dilated is a strict superset of pass-1
+    assert (keep2 | keep1).tolist() == keep2.tolist()
+    assert keep2.sum() > keep1.sum()
+    # every extra kept point is a neighbor of some pass-1-kept point
+    extra = keep2 & ~keep1
+    neighbor_of_kept = np.zeros(len(pts), bool)
+    neighbor_of_kept[nbr[keep1].ravel()] = True
+    assert neighbor_of_kept[extra].all()
+    # rows far from the edge stay deleted even after dilation
+    assert not keep2[xs.ravel() <= 1].any() and not keep2[xs.ravel() >= w - 2].any()
 
 
 def test_image_scale_count_formula():
