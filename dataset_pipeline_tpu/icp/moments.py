@@ -390,22 +390,25 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
     return q, t, cost
 
 
-def pack_group_data(groups, chunk: int = 16384):
-    """Pack per-group correspondence arrays into the fused (16, Mp) layout
+def pack_group_data(groups, chunk: int = 16384, rows: int = 16):
+    """Pack per-group correspondence arrays into the fused (rows, Mp) layout
     with each group padded to a chunk multiple (padding rows have w=0 and
     thus vanish from the Gram).
 
     ``groups``: list of dicts with ps/ns/pt/nt (Mg,3) float32 arrays and
-    optional 'w'.  Returns (data (16, Mp) np.float32, chunk_gid (grid,) int32
-    mapping each chunk to its group).
+    optional 'w'.  Returns (data (rows, Mp) np.float32, chunk_gid (grid,)
+    int32 mapping each chunk to its group). ``rows=13`` drops the three
+    zero padding rows of the original 16-row layout (the tri moment kernel
+    reads rows 0-12 only; 18.75% less HBM traffic).
     """
+    assert rows in (13, 16), rows
     blocks = []
     chunk_gid = []
     for gi, g in enumerate(groups):
         Mg = len(g["ps"])
         pad = (-Mg) % chunk
         Mp = Mg + pad
-        d = np.zeros((16, Mp), np.float32)
+        d = np.zeros((rows, Mp), np.float32)
         d[0:3, :Mg] = g["ps"].T
         d[3:6, :Mg] = g["ns"].T
         d[6:9, :Mg] = g["pt"].T

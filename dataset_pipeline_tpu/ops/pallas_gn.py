@@ -244,12 +244,21 @@ def pack_icp_inputs(ps, ns, pt, nt, w, chunk: int = 16384):
 
 
 # ---------------------------------------------------------------------------
-# Moment (monomial Gram) kernel: ONE pose-independent pass over the packed
-# correspondence tensor yields per-chunk 48x48 Grams of the local monomials
+# Moment (monomial Gram) kernels: ONE pose-independent pass over the packed
+# correspondence tensor yields per-chunk Grams of the local monomials
 # (see ``icp/moments.py``); the host sums them in f64 per correspondence
-# group, after which every inner LM iteration costs O(1).  This is the
-# speed-of-light formulation: per correspondence the chip reads 64 bytes and
-# performs one 48-wide rank-1 MXU update; no per-iteration traffic at all.
+# group, after which every inner LM iteration costs O(1).
+#
+# Roofline (v5e, 819 GB/s HBM, ~49 TFLOP/s f32 MXU ~ bf16/8):
+#   bytes/corr = 4*rows (52 for the 13-row pack), flops/corr = 2*42^2 ~ 3.5k
+#   -> ridge point ~ 68 flops/byte vs arithmetic intensity ~ 68: the kernel
+#   sits near the ROOFLINE CROSSOVER, so MXU-tile fill decides everything.
+# The naive (48, CH) x (CH, 48) Gram uses 48 of 128 MXU rows/cols: every
+# 128-column pass wastes (1 - (48/128)^2) ~ 86% of the array.  The _tri
+# kernel below stacks THREE 42-row monomial groups of three column-thirds
+# into one (126, CH/3) operand -> same correspondences in 1/3 of the MXU
+# passes at 98% row fill; the 128x128 output carries the three group Grams
+# on its diagonal blocks (off-diagonal cross blocks are discarded).
 # ---------------------------------------------------------------------------
 
 
@@ -292,6 +301,62 @@ def icp_moment_pallas(data, chunk: int = 16384, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((grid, 48, 48), jnp.float32),
         interpret=interpret,
     )(data)
+
+
+def _monomials_42(dk):
+    """(42, ch) monomial block from a packed (rows>=13, ch) slice — layout
+    of ``icp/moments.py``: [b; a_k * b] with b = sqrt(w)*[ns; nt]."""
+    sw = jnp.sqrt(dk[12:13, :])
+    b = jnp.concatenate([dk[3:6, :], dk[9:12, :]], axis=0) * sw
+    blocks = [b]
+    for i in (0, 1, 2, 6, 7, 8):
+        blocks.append(dk[i:i + 1, :] * b)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _moment_kernel_tri(data_ref, out_ref):
+    d = data_ref[:]  # (13|16, CH)
+    third = d.shape[1] // 3
+    parts = [_monomials_42(d[:, k * third:(k + 1) * third]) for k in range(3)]
+    m = jnp.concatenate(
+        parts + [jnp.zeros((2, third), jnp.float32)], axis=0)  # (128, third)
+    out_ref[0] = jax.lax.dot_general(
+        m, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("chunk", "interpret"))
+def icp_moment_pallas_tri(data, chunk: int = 24576, interpret: bool = False):
+    """MXU-filling monomial Gram pass (see roofline note above).
+
+    ``data``: packed (13, Mp) (or (16, Mp)) tensor, Mp a multiple of
+    ``chunk`` and chunk divisible by 3*128. Returns (Mp//chunk, 128, 128)
+    f32; the chunk's 42x42 monomial Gram is the SUM of the three diagonal
+    blocks [0:42], [42:84], [84:126] (see :func:`moment_tri_extract`).
+    """
+    Mp = data.shape[1]
+    assert Mp % chunk == 0, (Mp, chunk)
+    assert chunk % (3 * 128) == 0, chunk
+    grid = Mp // chunk
+    rows = data.shape[0]
+    return pl.pallas_call(
+        _moment_kernel_tri,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 128, 128), jnp.float32),
+        interpret=interpret,
+    )(data)
+
+
+def moment_tri_extract(parts):
+    """(grid, 128, 128) tri-kernel output -> (grid, 42, 42) chunk Grams
+    (works on numpy or jnp arrays)."""
+    return (parts[:, 0:42, 0:42] + parts[:, 42:84, 42:84]
+            + parts[:, 84:126, 84:126])
 
 
 @partial(jax.jit, static_argnames=("num_clouds", "chunk", "interpret"))

@@ -94,6 +94,15 @@ def make_sharded_hb(mesh: Mesh, row_fn: Callable, n_vars: int, axis: str = "data
     ``row_fn(*shard_inputs) -> (rows (R, n_vars), r (R,), w (R,))`` evaluated
     per device on its shard; returns a function producing replicated
     (H (n_vars,n_vars), b (n_vars,), cost).
+
+    CONSTRAINT: the compiled executable is cached on ``row_fn``'s identity
+    (``_sharded_hb_jit``), so ``row_fn`` must be pure in its arguments —
+    any device arrays it closes over are baked in as constants at first
+    trace and silently reused on later calls. Pass varying data through
+    ``inputs``, never through the closure.
+
+    NOTE: this dense-row path is the joint BA's *validation twin*; the
+    production system produces rows on-device (``parallel/joint_ba.py``).
     """
 
     def wrapper(*inputs, in_specs):

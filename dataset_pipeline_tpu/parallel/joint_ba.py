@@ -683,6 +683,70 @@ def apply_delta(pack: JointBAPack, state, x_keep, x_img):
     return new
 
 
+def refresh_icp_correspondences(pack: JointBAPack, state, clouds: dict,
+                                max_dist: float) -> None:
+    """Re-find the ICP targets in the CURRENT state, keeping shapes fixed.
+
+    The reference re-finds correspondences every outer iteration
+    (``icp_point_to_plane.cc:208-309``); here the SOURCE side (ps/ns,
+    scene/src/tgt assignment, row count) stays frozen so the compiled
+    dispatches keep their shapes, and only the matched target endpoint
+    (pt/nt, stored in the INITIAL frame) and the gate weight w are updated
+    in place on device. ``clouds[(scene, scan)] = (points, normals)`` in
+    the initial global frame.
+    """
+    from dataset_pipeline_tpu.icp.moments import quat_mul_np
+    from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
+    from dataset_pipeline_tpu.ops.knn import build_grid, nearest_neighbor
+
+    ps = np.asarray(pack.icp_ps)
+    scene = np.asarray(pack.icp_scene)
+    src_s = np.asarray(pack.icp_src_s)
+    tgt_s = np.asarray(pack.icp_tgt_s)
+    w0 = np.asarray(pack.icp_w)
+    corr_q = np.asarray(state["corr_q"], np.float64)
+    corr_t = np.asarray(state["corr_t"], np.float64)
+    pt_new = np.asarray(pack.icp_pt).copy()
+    nt_new = np.asarray(pack.icp_nt).copy()
+    w_new = w0.copy()
+
+    def corrected(si, s, pts):
+        R = quat_to_matrix_np(corr_q[si, s])
+        return pts @ R.T + corr_t[si, s]
+
+    grids = {}
+    real = w0 > 0
+    keys = set(zip(scene[real].tolist(), src_s[real].tolist(),
+                   tgt_s[real].tolist()))
+    for (si, s, t) in sorted(keys):
+        rows = real & (scene == si) & (src_s == s) & (tgt_s == t)
+        tp, tn = clouds[(si, t)]
+        gk = (si, t)
+        if gk not in grids:
+            grids[gk] = (build_grid(corrected(si, t, tp).astype(np.float32),
+                                    max_dist), tp, tn)
+        grid, tp, tn = grids[gk]
+        q = corrected(si, s, ps[rows]).astype(np.float32)
+        d2, idx = nearest_neighbor(grid, jnp.asarray(q))
+        d2, idx = np.asarray(d2), np.asarray(idx)
+        ok = (idx >= 0) & (d2 <= max_dist * max_dist)
+        safe = np.maximum(idx, 0)
+        pt_new[rows] = np.where(ok[:, None], tp[safe], pt_new[rows])
+        nt_new[rows] = np.where(ok[:, None], tn[safe], nt_new[rows])
+        wr = w_new[rows]
+        wr[~ok] = 0.0
+        base = w0[rows]
+        wr[ok] = base[ok]
+        w_new[rows] = wr
+
+    def reshard(old, new):
+        return jax.device_put(jnp.asarray(new), old.sharding)
+
+    pack.icp_pt = reshard(pack.icp_pt, pt_new)
+    pack.icp_nt = reshard(pack.icp_nt, nt_new)
+    pack.icp_w = reshard(pack.icp_w, w_new)
+
+
 @dataclass
 class JointBAResult:
     state: dict
@@ -695,6 +759,8 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
                  lam0: float = 1.0, convergence_threshold: float = 1e-7,
                  current_scale: float = 0.0, print_progress: bool = False,
                  refresh_visibility_every: int = 1,
+                 icp_refresh_fn=None,
+                 iterations_without_optimum: int = 15,
                  system: Optional[JointBASystem] = None) -> JointBAResult:
     """LM accept/reject driver over the sharded joint system.
 
@@ -702,7 +768,11 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
     damped tries — solve at lambda (one dispatch), apply exp(-delta) on
     host, evaluate the frozen-visibility cost (one dispatch), accept iff it
     decreases (halve lambda) else double; the 10th try is force-applied
-    (``opt/intrinsics_and_pose_optimizer.cc:197-258``).
+    (``opt/intrinsics_and_pose_optimizer.cc:197-258``). Like the reference's
+    scale driver (``opt/optimizer.cc:150-176``), the best state across
+    iterations (under each iteration's refreshed landscape) is TRACKED and
+    restored at the end, and the loop stops after
+    ``iterations_without_optimum`` iterations without a new optimum.
     """
     if system is None:
         system = JointBASystem(pack, current_scale)
@@ -714,9 +784,16 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
     rows = (int(count) * int(pack.scene_neighbors.shape[-1])
             + 2 * pack.n_icp)
     costs = [cost]
+    best_cost, best_state = cost, state
+    since_optimum = 0
     it_done = 0
     x_keep = x_img = None
     for it in range(max_iterations):
+        if it > 0 and icp_refresh_fn is not None:
+            # re-find ICP targets in the current state (fixed shapes; the
+            # reference re-finds correspondences every outer iteration)
+            icp_refresh_fn(pack, state)
+            cost = float(system.cost(state, vis, obs_scale)[0])
         if it > 0 and refresh_visibility_every and (
                 it % refresh_visibility_every == 0):
             vis, obs_scale = system.visibility(state)
@@ -735,13 +812,18 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
             lam *= 2.0
         costs.append(cost)
         it_done = it + 1
+        if cost < best_cost:
+            best_cost, best_state = cost, state
+            since_optimum = 0
+        else:
+            since_optimum += 1
         if print_progress:
             print(f"  joint BA iter {it}: cost {cost:.6f} lam {lam:.2e}")
-        if not applied:
+        if not applied or since_optimum >= iterations_without_optimum:
             break
         step_norm = (float(np.linalg.norm(np.asarray(x_keep)))
                      + float(np.linalg.norm(np.asarray(x_img))))
         if step_norm < convergence_threshold:
             break
-    return JointBAResult(state=state, costs=costs, iterations=it_done,
+    return JointBAResult(state=best_state, costs=costs, iterations=it_done,
                          rows=rows)

@@ -1,0 +1,280 @@
+"""JointBA: joint multi-scene scan+image bundle adjustment (Schur, sharded).
+
+The multi-host north-star tool (BASELINE.json; no reference counterpart —
+the reference's own TODO, ``opt/intrinsics_and_pose_optimizer.cc:70-73,217``):
+several scenes sharing ONE camera are optimized jointly over
+[shared intrinsics | per-scene free scan poses | per-image poses], with
+residual rows (photometric descriptor rows + symmetric point-to-plane ICP
+rows) produced ON-DEVICE inside ``shard_map`` and reduced through a
+distributed Schur complement (``parallel/joint_ba.py``).
+
+Each ``--scene`` is ``mlp_path,colmap_state_dir,image_base_path``. Outputs,
+per scene: an updated ``scan_alignment.mlp`` (corrected scan poses), an
+updated COLMAP state (image poses + shared intrinsics), and a
+``metadata.txt`` with the LM cost trace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dataset_pipeline_tpu.models.lie import SE3
+from dataset_pipeline_tpu.utils.profiling import GLOBAL_TIMER
+
+
+def build_scene(mlp_path: str, state_dir: str, image_base: str, params,
+                point_level: int, max_corr_dist: float, icp_weight: float,
+                normal_k: int):
+    """One JointScene: single-group photometric problem + cross-scan ICP
+    correspondences (found once, in the initial state)."""
+    from dataset_pipeline_tpu.io.scans import load_scan_set
+    from dataset_pipeline_tpu.io.state import load_colmap_state
+    from dataset_pipeline_tpu.ops.knn import build_grid, nearest_neighbor
+    from dataset_pipeline_tpu.ops.normals import estimate_normals
+    from dataset_pipeline_tpu.parallel.ba import JointScene
+    from dataset_pipeline_tpu.photometric.multiscale import build_multiscale_cloud
+    from dataset_pipeline_tpu.photometric.problem import (
+        PhotoProblem, build_photo_level, image_scale_count,
+    )
+    from dataset_pipeline_tpu.tools.image_registrator import load_groups
+
+    scans = load_scan_set(mlp_path)
+    state = load_colmap_state(state_dir, scans.scale_factor)
+    groups, global_count = load_groups(state, image_base)
+    if len(groups) != 1:
+        raise SystemExit("joint_ba: each scene must have exactly one camera "
+                         f"group ({mlp_path} has {len(groups)})")
+    g = groups[0]
+
+    scan_pts = [scans.global_positions(i) for i in range(len(scans.infos))]
+    scan_cols = [scans.clouds[i].colors if scans.clouds[i].colors is not None
+                 else np.zeros((len(scan_pts[i]), 3), np.uint8)
+                 for i in range(len(scans.infos))]
+    all_pts = np.concatenate(scan_pts)
+    all_cols = np.concatenate(scan_cols)
+    scan_idx = np.concatenate([np.full(len(p_), i, np.uint8)
+                               for i, p_ in enumerate(scan_pts)])
+
+    levels_raw = build_multiscale_cloud(
+        all_pts, all_cols, scan_idx, g.poses, g.camera, global_count,
+        min_radius_bias=params.min_radius_bias,
+        merge_distance_factor=params.merge_distance_factor,
+        occlusion_threshold=params.occlusion_depth_threshold)
+    li = min(point_level, len(levels_raw) - 1)
+    level = build_photo_level(
+        levels_raw[li], k=params.point_neighbor_count, seed=li,
+        num_candidates=params.point_neighbor_candidate_count,
+        min_mean_diff=params.min_mean_intensity_difference_for_points)
+    if level is None:
+        raise SystemExit(f"joint_ba: point level {li} of {mlp_path} is empty "
+                         "after the gradient filter")
+
+    problem = PhotoProblem(
+        groups=[g], levels=[level],
+        occlusion_points=jnp.asarray(all_pts.astype(np.float32)),
+        occlusion_radius=params.splat_radius,
+        scale_count=global_count,
+        occlusion_depth_threshold=params.occlusion_depth_threshold)
+
+    # cross-scan ICP correspondences in the initial state (nearest neighbor
+    # within max_corr_dist, per ordered overlapping pair — the reference's
+    # pair enumeration, icp_point_to_plane.cc:208-309)
+    icp = None
+    normals = None
+    S = len(scan_pts)
+    if S > 1 and max_corr_dist > 0:
+        normals = [np.asarray(estimate_normals(
+            p_, scans.scan_origin(i), k=normal_k)[0])
+            for i, p_ in enumerate(scan_pts)]
+        cols = {k: [] for k in ("ps", "ns", "pt", "nt", "src", "tgt")}
+        grids = {}
+        for i in range(S):
+            for j in range(S):
+                if i == j:
+                    continue
+                lo = scan_pts[i].min(0) - max_corr_dist
+                hi = scan_pts[i].max(0) + max_corr_dist
+                if (scan_pts[j].min(0) > hi).any() or (
+                        scan_pts[j].max(0) < lo).any():
+                    continue
+                if j not in grids:
+                    grids[j] = build_grid(scan_pts[j], max_corr_dist)
+                d2, idx = nearest_neighbor(grids[j],
+                                           jnp.asarray(scan_pts[i]))
+                d2, idx = np.asarray(d2), np.asarray(idx)
+                keep = (idx >= 0) & (d2 <= max_corr_dist ** 2)
+                if not keep.any():
+                    continue
+                si_ = np.nonzero(keep)[0]
+                ti_ = idx[keep]
+                cols["ps"].append(scan_pts[i][si_])
+                cols["ns"].append(normals[i][si_])
+                cols["pt"].append(scan_pts[j][ti_])
+                cols["nt"].append(normals[j][ti_])
+                cols["src"].append(np.full(len(si_), i, np.int32))
+                cols["tgt"].append(np.full(len(si_), j, np.int32))
+        if cols["ps"]:
+            icp = tuple(np.concatenate(cols[k]) for k in
+                        ("ps", "ns", "pt", "nt", "src", "tgt"))
+    return (JointScene(problem, 0, icp, icp_weight=icp_weight),
+            scans, state, scan_pts, normals)
+
+
+def main(argv=None) -> int:
+    from dataset_pipeline_tpu.utils.params import Parameters
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", action="append", required=True,
+                   metavar="MLP,STATE_DIR,IMAGE_BASE",
+                   help="repeatable: one scene's scan alignment .mlp, COLMAP "
+                        "state dir and image base path")
+    p.add_argument("--output_folder_path", required=True)
+    p.add_argument("--max_iterations", type=int, default=20)
+    p.add_argument("--lambda0", type=float, default=1.0)
+    p.add_argument("--point_level", type=int, default=0,
+                   help="multi-res point level fed to the joint rows")
+    p.add_argument("--max_corr_distance", type=float, default=0.1,
+                   help="ICP correspondence gate (normalized units); 0 "
+                        "disables ICP rows")
+    p.add_argument("--icp_weight", type=float, default=30.0)
+    p.add_argument("--normal_estimation_neighbor_count", type=int, default=8)
+    p.add_argument("--fix_intrinsics", action="store_true")
+    p.add_argument("--devices", type=int, default=0,
+                   help="1-D mesh size (0 = all available devices)")
+    p.add_argument("--mesh", default="",
+                   help='2-axis topology "HxD" (hosts x devices, SURVEY §5); '
+                        "overrides --devices. Example: --mesh 2x4")
+    Parameters().add_to_argparser(p)
+    args = p.parse_args(argv)
+    params = Parameters.from_args(args)
+
+    import jax
+
+    from dataset_pipeline_tpu.parallel.joint_ba import pack_scenes, run_joint_ba
+    from dataset_pipeline_tpu.parallel.mesh import (
+        initialize_distributed, make_data_mesh, make_host_device_mesh,
+    )
+
+    initialize_distributed()  # no-op unless a coordinator is configured
+    if args.mesh:
+        h, d = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_host_device_mesh(h, d)
+    else:
+        mesh = make_data_mesh(args.devices or len(jax.devices()))
+    print(f"mesh: {dict(mesh.shape)}")
+
+    scenes, metas = [], []
+    clouds = {}
+    for spec in args.scene:
+        parts = spec.split(",")
+        if len(parts) != 3:
+            raise SystemExit(f"--scene must be MLP,STATE_DIR,IMAGE_BASE: {spec}")
+        with GLOBAL_TIMER.stage("build_scene"):
+            sc, scans, state, scan_pts, normals = build_scene(
+                parts[0], parts[1], parts[2], params, args.point_level,
+                args.max_corr_distance, args.icp_weight,
+                args.normal_estimation_neighbor_count)
+        si = len(scenes)
+        if normals is not None:
+            for s in range(len(scan_pts)):
+                clouds[(si, s)] = (scan_pts[s], normals[s])
+        scenes.append(sc)
+        metas.append((scans, state))
+        n_icp = 0 if sc.icp is None else len(sc.icp[0])
+        print(f"scene {len(scenes) - 1}: {sc.num_scans} scans, "
+              f"{sc.num_images} images, "
+              f"{sc.problem.levels[0].points.shape[0]} points, "
+              f"{n_icp} ICP correspondences")
+
+    cam0 = scenes[0].problem.groups[0].camera
+    for sc in scenes[1:]:
+        c = sc.problem.groups[0].camera
+        if (c.model != cam0.model or c.width != cam0.width
+                or c.height != cam0.height):
+            raise SystemExit("joint_ba: scenes must share one camera model/"
+                             "size (shared-intrinsics kept block)")
+
+    with GLOBAL_TIMER.stage("pack_scenes"):
+        pack = pack_scenes(mesh, scenes,
+                           optimize_intrinsics=not args.fix_intrinsics,
+                           occlusion_radius=params.splat_radius,
+                           occlusion_depth_threshold=params.occlusion_depth_threshold)
+    print(f"packed: n_keep={pack.n_keep} images={pack.n_images} "
+          f"(pad {pack.m_pad}) icp_rows={2 * pack.n_icp}")
+
+    from dataset_pipeline_tpu.parallel.joint_ba import refresh_icp_correspondences
+
+    icp_refresh = None
+    if clouds and args.max_corr_distance > 0 and pack.n_icp > 0:
+        def icp_refresh(pk, st):
+            refresh_icp_correspondences(pk, st, clouds,
+                                        args.max_corr_distance)
+
+    with GLOBAL_TIMER.stage("joint_ba"):
+        res = run_joint_ba(pack, max_iterations=args.max_iterations,
+                           lam0=args.lambda0, icp_refresh_fn=icp_refresh,
+                           print_progress=True)
+    print(f"joint BA: {res.iterations} iterations, {res.rows} rows, "
+          f"cost {res.costs[0]:.6f} -> {res.costs[-1]:.6f}")
+
+    # export per scene
+    from dataset_pipeline_tpu.io.scans import write_scan_poses
+    from dataset_pipeline_tpu.io.state import (
+        ImageState, ModelState, save_colmap_state,
+    )
+    from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
+
+    os.makedirs(args.output_folder_path, exist_ok=True)
+    corr_q = np.asarray(res.state["corr_q"], np.float64)
+    corr_t = np.asarray(res.state["corr_t"], np.float64)
+    pose_q = np.asarray(res.state["pose_q"], np.float64)
+    pose_t = np.asarray(res.state["pose_t"], np.float64)
+    new_params = np.asarray(res.state["params"], np.float64)
+    img_base_idx = 0
+    for si, (sc, (scans, state)) in enumerate(zip(scenes, metas)):
+        out = os.path.join(args.output_folder_path, f"scene_{si}")
+        os.makedirs(out, exist_ok=True)
+        # scan poses: new global_T_mesh = corr . old (left-multiplicative)
+        mats = []
+        for s in range(len(scans.infos)):
+            M = scans.global_matrix(s)
+            C = np.eye(4)
+            C[:3, :3] = quat_to_matrix_np(corr_q[si, s])
+            C[:3, 3] = corr_t[si, s]
+            mats.append(C @ M)
+        write_scan_poses(os.path.join(out, "scan_alignment.mlp"), scans, mats)
+        # COLMAP state: updated image poses + shared intrinsics
+        g = sc.problem.groups[0]
+        cam_new = (g.camera if args.fix_intrinsics
+                   else g.camera.with_params(jnp.asarray(new_params,
+                                                         jnp.float32)))
+        id_to_slot = {iid: k for k, iid in enumerate(g.image_ids)}
+        rows = []
+        for im in state.images:
+            k = id_to_slot[im.image_id]
+            gi = img_base_idx + k
+            rows.append(ImageState(im.image_id, im.camera_id, im.name,
+                                   pose_q[gi], pose_t[gi]))
+        cams = {cid: cam_new for cid in state.cameras}
+        save_colmap_state(out, ModelState(cams, rows, state.scale_factor))
+        with open(os.path.join(out, "metadata.txt"), "w") as f:
+            f.write(f"iterations {res.iterations}\n")
+            f.write(f"rows {res.rows}\n")
+            f.write("costs " + " ".join(f"{c:.8g}" for c in res.costs) + "\n")
+            for line in params.dump().splitlines():
+                f.write(line + "\n")
+        img_base_idx += sc.num_images
+        print(f"scene {si} -> {out}")
+    print("stage timing:\n" + GLOBAL_TIMER.summary())
+    GLOBAL_TIMER.dump_json(os.path.join(args.output_folder_path, "timing.json"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,6 +5,7 @@ neighbor-index blob (``opt/problem.cc:62-159,364-411``).
 """
 
 import numpy as np
+import pytest
 
 from dataset_pipeline_tpu.photometric.cache import (
     load_multiscale_cache,
@@ -64,6 +65,7 @@ def test_photo_level_cache_roundtrip(tmp_path):
     assert load_photo_levels_cache(str(tmp_path), {**PARAMS, "num_images": 9}) is None
 
 
+@pytest.mark.slow
 def test_neighbor_selection_scales_to_1m_points():
     """10^6-point level processed in seconds via the native threaded
     grid-kNN (``native/gridder.cc:grid_knn``): exact expanding-ring
@@ -87,6 +89,7 @@ def test_neighbor_selection_scales_to_1m_points():
     assert dt < 60.0, f"neighbor selection too slow: {dt:.1f}s"
 
 
+@pytest.mark.slow
 def test_native_knn_smoke_10m_points():
     """Production-scale smoke: exact kNN (k=26, the reference's 25
     candidates + self) over 10^7 points. The reference's scans reach

@@ -1,6 +1,7 @@
 """ICP tests mirroring the reference ``opt/test/test_icp.cc`` strategy."""
 
 import numpy as np
+import pytest
 
 from dataset_pipeline_tpu.icp.point_to_plane import PointToPlaneICP
 
@@ -17,6 +18,7 @@ def _random_rotation(max_angle_deg):
     return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
 
 
+@pytest.mark.slow
 def test_identical_cloud_alignment():
     """20 randomly perturbed copies of one cloud must align to a common pose
     (reference tolerance 1e-5 per matrix entry; we allow 5e-5 for f32 H,b)."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dataset_pipeline_tpu.ops import (
     build_grid,
@@ -126,6 +127,7 @@ def test_knn_grid_reports_drops():
     assert int(np.asarray(dropped)[0]) > 0
 
 
+@pytest.mark.slow
 def test_knn_adaptive_exact_at_scale():
     """Adaptive grid kNN == brute force on a large clustered cloud with a
     production-sized k (the reference cleaner uses k=270, README.md:372)."""
@@ -155,6 +157,7 @@ def test_knn_adaptive_exact_at_scale():
     assert match.mean() > 0.995
 
 
+@pytest.mark.slow
 def test_native_grid_knn_matches_bruteforce():
     """Native threaded grid-kNN (``native/gridder.cc:grid_knn``) ==
     brute force, full-array equality on a clustered non-uniform cloud,
@@ -189,6 +192,7 @@ def test_native_grid_knn_matches_bruteforce():
     np.testing.assert_allclose(d2q, np.sort(d2fq, 1)[:, :7], rtol=1e-4, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_cleaner_production_filter_at_scale():
     """PointCloudCleaner's production filter (k=270, factor 1.15 —
     ``README.md:372``) over a 300k-point cloud runs through the native

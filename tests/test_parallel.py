@@ -1,6 +1,7 @@
 """Sharded normal equations + Schur-complement BA tests on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_sharded_icp_hb_matches_single_device():
     from dataset_pipeline_tpu.icp.point_to_plane import _icp_hb_cost
 
@@ -106,6 +108,7 @@ def test_joint_ba_step_reduces_synthetic_cost():
     assert np.linalg.norm(new_r) < 1e-2 * np.linalg.norm(r)
 
 
+@pytest.mark.slow
 def test_host_device_mesh_icp_hb_matches_single_device():
     """2-axis ("hosts","devices") mesh (SURVEY.md §5 multi-host backend):
     the psum spans both axes (DCN across hosts + ICI within) and must give
@@ -146,6 +149,7 @@ def test_initialize_distributed_noop_single_process():
     assert initialize_distributed() is False
 
 
+@pytest.mark.slow
 def test_sharded_moment_gram_matches_single_device():
     """psum-reduced monomial Gram == single-device Gram (the sharded path of
     the default moment ICP inner loop)."""

@@ -7,6 +7,7 @@ schedule driven through the sharded kernels must land on the same state.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -73,6 +74,7 @@ def test_sharded_hb_batch_matches_sequential():
     assert np.abs(np.asarray(H2)[nb:]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_mesh_optimizer_matches_sequential_schedule():
     problem_a = _perturbed_problem()
     problem_b = _perturbed_problem()
