@@ -420,13 +420,15 @@ def pack_group_data(groups, chunk: int = 16384, rows: int = 16):
     return data, np.asarray(chunk_gid, np.int32)
 
 
-def compute_group_moments(groups, chunk: int = 16384,
+def compute_group_moments(groups, chunk: int = 49152,
                           force_xla: bool = False) -> List[np.ndarray]:
     """Per-group 42x42 moment matrices, f64 on host.
 
-    On TPU: single Pallas dispatch producing per-chunk partial Grams,
-    summed on host in f64 (better than sequential f32 accumulation).
-    On CPU: one XLA HIGHEST-precision Gram per group.
+    On TPU: single Pallas dispatch of the MXU-filling tri kernel
+    (``ops/pallas_gn.py:icp_moment_pallas_tri_sub`` — three 42-row monomial
+    groups of column-thirds per 128-wide contraction) producing per-chunk
+    partial Grams, summed on host in f64 (better than sequential f32
+    accumulation). On CPU: one XLA HIGHEST-precision Gram per group.
     """
     if force_xla or jax.default_backend() == "cpu":
         out = []
@@ -440,12 +442,18 @@ def compute_group_moments(groups, chunk: int = 16384,
             out.append(np.asarray(P, np.float64))
         return out
 
-    from dataset_pipeline_tpu.ops.pallas_gn import icp_moment_pallas
+    from dataset_pipeline_tpu.ops.pallas_gn import (
+        icp_moment_pallas_tri_sub,
+        moment_tri_extract,
+    )
 
+    sub = 8192 if chunk % (3 * 8192) == 0 else chunk // 3
     data, chunk_gid = pack_group_data(groups, chunk)
-    parts = np.asarray(icp_moment_pallas(jnp.asarray(data), chunk=chunk),
-                       np.float64)  # (grid, 48, 48)
+    parts = np.asarray(
+        icp_moment_pallas_tri_sub(jnp.asarray(data), chunk=chunk, sub=sub),
+        np.float64)  # (grid, 128, 128)
+    parts = moment_tri_extract(parts)  # (grid, 42, 42)
     out = []
     for gi in range(len(groups)):
-        out.append(parts[chunk_gid == gi, :42, :42].sum(0))
+        out.append(parts[chunk_gid == gi].sum(0))
     return out

@@ -352,6 +352,52 @@ def icp_moment_pallas_tri(data, chunk: int = 24576, interpret: bool = False):
     )(data)
 
 
+def _moment_kernel_tri_sub(data_ref, out_ref, *, sub: int):
+    """Tri kernel with an inner sub-tile loop: the (128, third) operand is
+    processed ``sub`` columns at a time with a VMEM-resident (128, 128)
+    accumulator, so the chunk (hence the DMA granularity) can grow well
+    past the VMEM operand limit and the output is written once per chunk."""
+    d = data_ref[:]
+    third = d.shape[1] // 3
+    acc = jnp.zeros((128, 128), jnp.float32)
+    for j in range(third // sub):
+        parts = [
+            _monomials_42(d[:, k * third + j * sub: k * third + (j + 1) * sub])
+            for k in range(3)
+        ]
+        m = jnp.concatenate(parts + [jnp.zeros((2, sub), jnp.float32)], 0)
+        acc = acc + jax.lax.dot_general(
+            m, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+@partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
+def icp_moment_pallas_tri_sub(data, chunk: int = 98304, sub: int = 8192,
+                              interpret: bool = False):
+    """Sub-tiled tri kernel (see :func:`icp_moment_pallas_tri`); chunk can
+    exceed the VMEM operand limit. chunk % (3*sub) == 0 required."""
+    Mp = data.shape[1]
+    assert Mp % chunk == 0, (Mp, chunk)
+    assert chunk % (3 * sub) == 0 and sub % 128 == 0, (chunk, sub)
+    grid = Mp // chunk
+    rows = data.shape[0]
+    return pl.pallas_call(
+        partial(_moment_kernel_tri_sub, sub=sub),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 128, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(data)
+
+
 def moment_tri_extract(parts):
     """(grid, 128, 128) tri-kernel output -> (grid, 42, 42) chunk Grams
     (works on numpy or jnp arrays)."""

@@ -914,7 +914,11 @@ class PhotometricOptimizer:
                 ShardedPhotometricKernels,
             )
 
-            self._kernels = ShardedPhotometricKernels(mesh)
+            # a multi-axis mesh (e.g. ("hosts","devices"), SURVEY §5)
+            # shards the image axis over ALL axes and psums over the tuple
+            names = tuple(mesh.axis_names)
+            axis = names[0] if len(names) == 1 else names
+            self._kernels = ShardedPhotometricKernels(mesh, axis=axis)
             nd = self._kernels.n_devices
             self._chunk_min_bucket = nd
             self.image_chunk = max(nd, (image_chunk + nd - 1) // nd * nd)

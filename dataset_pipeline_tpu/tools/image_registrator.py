@@ -208,6 +208,12 @@ def main(argv=None) -> int:
                         "over a device mesh of this many devices (0 = all "
                         "available); images are the sharded axis "
                         "(parallel/photometric.py)")
+    p.add_argument("--mesh", default="",
+                   help='2-axis mesh topology "HxD" (hosts x devices-per-'
+                        "host, SURVEY §5): shards the image axis over both "
+                        "axes with the psum spanning DCN+ICI; overrides "
+                        "--devices. With jax.distributed (DPT_COORDINATOR "
+                        'etc.) H defaults to process_count; e.g. "2x4"')
     # the shared optimization knob set (opt/parameters.h); DatasetInspector
     # accepts the identical flags (README.md:770-771)
     Parameters().add_to_argparser(p)
@@ -385,7 +391,17 @@ def main(argv=None) -> int:
         occlusion_depth_threshold=params.occlusion_depth_threshold,
     )
     mesh = None
-    if args.devices == 0 or args.devices > 1:
+    if args.mesh:
+        from dataset_pipeline_tpu.parallel.mesh import (
+            initialize_distributed, make_host_device_mesh,
+        )
+
+        initialize_distributed()  # no-op unless a coordinator is configured
+        h, d = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_host_device_mesh(h, d)
+        print(f"sharding photometric kernels over the {h}x{d} "
+              '("hosts","devices") mesh')
+    elif args.devices == 0 or args.devices > 1:
         import jax
 
         from dataset_pipeline_tpu.parallel.mesh import (

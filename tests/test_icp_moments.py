@@ -140,6 +140,44 @@ def test_moment_pallas_interpret_matches_xla():
                                    atol=2e-5 * np.abs(P_ref).max())
 
 
+def test_moment_tri_kernels_interpret_match_xla():
+    """MXU-filling tri kernels (3 x 42-row groups of column-thirds) must
+    reproduce the XLA HIGHEST Gram; covers both the plain and the
+    sub-tiled-accumulator variants and the 13-row packed layout."""
+    from dataset_pipeline_tpu.ops.pallas_gn import (
+        icp_moment_pallas_tri,
+        icp_moment_pallas_tri_sub,
+        moment_tri_extract,
+    )
+
+    rng = np.random.RandomState(5)
+    M = 2000
+    g = {"ps": rng.randn(M, 3).astype(np.float32),
+         "ns": rng.randn(M, 3).astype(np.float32),
+         "pt": rng.randn(M, 3).astype(np.float32),
+         "nt": rng.randn(M, 3).astype(np.float32),
+         "w": rng.rand(M).astype(np.float32)}
+    P_ref = np.asarray(moment_gram_xla(
+        jnp.asarray(g["ps"]), jnp.asarray(g["ns"]), jnp.asarray(g["pt"]),
+        jnp.asarray(g["nt"]), jnp.asarray(g["w"])), np.float64)
+
+    for rows in (13, 16):
+        chunk = 3 * 128 * 2
+        data, gid = pack_group_data([g], chunk=chunk, rows=rows)
+        parts = np.asarray(icp_moment_pallas_tri(
+            jnp.asarray(data), chunk=chunk, interpret=True), np.float64)
+        P = moment_tri_extract(parts).sum(0)
+        np.testing.assert_allclose(P, P_ref, rtol=2e-5,
+                                   atol=2e-5 * np.abs(P_ref).max())
+
+        parts = np.asarray(icp_moment_pallas_tri_sub(
+            jnp.asarray(data), chunk=chunk, sub=128, interpret=True),
+            np.float64)
+        P = moment_tri_extract(parts).sum(0)
+        np.testing.assert_allclose(P, P_ref, rtol=2e-5,
+                                   atol=2e-5 * np.abs(P_ref).max())
+
+
 def test_moment_lm_converges_like_direct():
     """End-to-end: the default (moment) ICP matches the direct-kernel ICP on
     the 3-perturbed-clouds problem and reaches the same pose."""

@@ -75,6 +75,35 @@ def test_sharded_hb_batch_matches_sequential():
 
 
 @pytest.mark.slow
+def test_host_device_mesh_optimizer_matches_sequential():
+    """The SURVEY §5 2-axis ("hosts","devices") topology through the FULL
+    engine: a 2x4 mesh optimizer (image axis sharded over both axes, psum
+    spanning the tuple) must land on the same state as the sequential
+    schedule — the path ImageRegistrator's --mesh HxD flag enables."""
+    from dataset_pipeline_tpu.parallel.mesh import make_host_device_mesh
+
+    problem_a = _perturbed_problem()
+    problem_b = _perturbed_problem()
+    mesh = make_host_device_mesh(2, 4)
+
+    opt_a = PhotometricOptimizer(problem_a, optimize_intrinsics=False)
+    opt_b = PhotometricOptimizer(problem_b, optimize_intrinsics=False,
+                                 mesh=mesh)
+    assert opt_b._kernels.axis == ("hosts", "devices")
+
+    for opt in (opt_a, opt_b):
+        opt.current_scale = 0
+        opt.run_on_current_scale(max_iterations=3)
+
+    qa, ta = (np.asarray(problem_a.groups[0].poses.q),
+              np.asarray(problem_a.groups[0].poses.t))
+    qb, tb = (np.asarray(problem_b.groups[0].poses.q),
+              np.asarray(problem_b.groups[0].poses.t))
+    np.testing.assert_allclose(qb, qa, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(tb, ta, rtol=0, atol=5e-5)
+
+
+@pytest.mark.slow
 def test_mesh_optimizer_matches_sequential_schedule():
     problem_a = _perturbed_problem()
     problem_b = _perturbed_problem()
