@@ -262,7 +262,8 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
                         max_iterations: int = 150,
                         convergence_threshold: float = 1e-7,
                         lam0: float = 0.1, center=None, cost_fn=None,
-                        trunc_rel: float = 1e-4, basis=None):
+                        trunc_rel: float = 1e-4, basis=None,
+                        cost_batch_fn=None):
     """The ENTIRE inner LM loop from precomputed moment matrices.
 
     Mirrors ``PointToPlaneICPImpl::compute``
@@ -302,6 +303,13 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
     ignored). The caller derives it from one DIRECTLY-accumulated H, whose
     structural zeros are exact — this removes the residual eigenvector
     leakage of truncating the noisy moment H itself.
+
+    ``cost_batch_fn(q_batch (K,C,4), t_batch (K,C,3)) -> (K,) costs``:
+    when given, the whole 10-candidate lambda ladder of each iteration is
+    evaluated in ONE batched call (one device dispatch) and the FIRST
+    improving candidate is accepted — trajectory-identical to the
+    sequential ladder (H, b are fixed within it) at 1 dispatch/iteration
+    instead of one per try.
 
     Returns (q (C,4) f64, t (C,3) f64, final_cost).
     """
@@ -353,18 +361,16 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
             lam_max = max(float(evals.max()), 1e-30)
             keep = evals > trunc_rel * lam_max
             bb = V.T @ bv
-        applied = False
-        x = None
-        for _ in range(10):
+        def solve_at(lam_k):
             if basis is not None:
                 try:
-                    xp = np.linalg.solve(Hp + lam * np.eye(k), bp)
+                    xp = np.linalg.solve(Hp + lam_k * np.eye(k), bp)
                 except np.linalg.LinAlgError:
-                    lam *= 2.0
-                    continue
-                x = basis @ xp
-            else:
-                x = V @ np.where(keep, bb / (evals + lam), 0.0)
+                    return None
+                return basis @ xp
+            return V @ np.where(keep, bb / (evals + lam_k), 0.0)
+
+        def apply_x(x):
             qc = q.copy()
             tc = t.copy()
             for c in range(1, C):
@@ -375,14 +381,44 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
                 qc[c] = quat_mul_np(dq, q[c])
                 qc[c] /= np.linalg.norm(qc[c])
                 tc[c] = Rd @ t[c] + dt
-            new_cost = cost_fn(qc, tc)
-            if new_cost < cost:
-                q, t, cost = qc, tc, new_cost
+            return qc, tc
+
+        applied = False
+        x = None
+        if cost_batch_fn is not None:
+            # whole ladder in ONE dispatch; accept the first improvement
+            lams = [lam * (2.0 ** j) for j in range(10)]
+            cands = [solve_at(lj) for lj in lams]
+            states = [apply_x(xj) if xj is not None else None for xj in cands]
+            qs = np.stack([s[0] if s is not None else q for s in states])
+            ts = np.stack([s[1] if s is not None else t for s in states])
+            costs = np.asarray(cost_batch_fn(qs, ts), np.float64)
+            costs = np.where([s is None for s in states], np.inf, costs)
+            hit = next((j for j in range(10) if costs[j] < cost), None)
+            if hit is None:
+                lam = lams[-1] * 2.0
+            else:
+                x = cands[hit]
+                q, t = states[hit]
+                cost = float(costs[hit])
                 H, b, _ = eval_G(q, t)
-                lam *= 0.5
+                lam = lams[hit] * 0.5
                 applied = True
-                break
-            lam *= 2.0
+        else:
+            for _ in range(10):
+                x = solve_at(lam)
+                if x is None:
+                    lam *= 2.0
+                    continue
+                qc, tc = apply_x(x)
+                new_cost = cost_fn(qc, tc)
+                if new_cost < cost:
+                    q, t, cost = qc, tc, new_cost
+                    H, b, _ = eval_G(q, t)
+                    lam *= 0.5
+                    applied = True
+                    break
+                lam *= 2.0
         if not applied:
             break
         if x is not None and np.linalg.norm(x) < convergence_threshold:

@@ -215,6 +215,20 @@ def _icp_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w, chunk: int = 65536):
     return jnp.sum(jax.lax.map(one_chunk, args))
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _icp_cost_batch(qs, ts, ps, ns, pt, nt, src_id, tgt_id, w,
+                    chunk: int = 65536):
+    """Exact residual cost for a BATCH of candidate pose sets in ONE
+    dispatch: ``qs`` (K, C, 4), ``ts`` (K, C, 3) -> (K,) costs. Powers the
+    LM lambda ladder without one relay round-trip per try (VERDICT r3
+    item 5): all <=10 damped candidates are evaluated together and the
+    FIRST improving one is accepted, reproducing the sequential ladder's
+    trajectory exactly (H, b are fixed within a ladder)."""
+    return jax.vmap(
+        lambda q, t: _icp_cost(q, t, ps, ns, pt, nt, src_id, tgt_id, w,
+                               chunk))(qs, ts)
+
+
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
@@ -423,9 +437,17 @@ class PointToPlaneICP:
                         jnp.asarray(np.asarray(t_, np.float32)),
                         ps, ns, pt, nt, sid, tid, w))
 
+                def exact_cost_batch(qs_, ts_):
+                    # the whole lambda ladder in ONE dispatch
+                    return np.asarray(_icp_cost_batch(
+                        jnp.asarray(np.asarray(qs_, np.float32)),
+                        jnp.asarray(np.asarray(ts_, np.float32)),
+                        ps, ns, pt, nt, sid, tid, w))
+
                 qm, tm, _ = icp_lm_from_moments(
                     P, pairs, C, max_iterations, convergence_threshold,
-                    center=center, cost_fn=exact_cost, basis=basis)
+                    center=center, cost_fn=exact_cost, basis=basis,
+                    cost_batch_fn=exact_cost_batch)
                 q = jnp.asarray(np.asarray(qm, np.float32))
                 t = jnp.asarray(np.asarray(tm, np.float32))
 
@@ -435,27 +457,35 @@ class PointToPlaneICP:
             bn = np.asarray(b, np.float64)[6:]
             cost = float(cost)
 
-            applied = False
-            for _ in range(10):
-                Hlm = Hn + lam * np.eye(n_var)
+            # the whole damped ladder in ONE batched cost dispatch: H, b
+            # are fixed within it, so accepting the FIRST improving
+            # candidate reproduces the sequential try loop exactly
+            lams = [lam * (2.0 ** j) for j in range(10)]
+            xs, cands = [], []
+            cur = SE3(q, t)
+            for lj in lams:
                 try:
-                    x = np.linalg.solve(Hlm, bn)
+                    xj = np.linalg.solve(Hn + lj * np.eye(n_var), bn)
                 except np.linalg.LinAlgError:
-                    lam *= 2.0
+                    xs.append(None)
+                    cands.append(cur)
                     continue
-                delta = np.concatenate([np.zeros(6), -x]).reshape(C, 6).astype(np.float32)
-                dT = SE3.exp(jnp.asarray(delta))
-                cur = SE3(q, t)
-                cand = dT.compose(cur)
-                new_cost = float(_icp_cost(cand.q, cand.t, ps, ns, pt, nt, sid, tid, w))
-                if new_cost < cost:
-                    q, t = cand.q, cand.t
-                    lam *= 0.5
-                    applied = True
-                    break
-                lam *= 2.0
-            if not applied:
+                delta = np.concatenate([np.zeros(6), -xj]).reshape(
+                    C, 6).astype(np.float32)
+                xs.append(xj)
+                cands.append(SE3.exp(jnp.asarray(delta)).compose(cur))
+            qs = jnp.stack([c.q for c in cands])
+            ts_ = jnp.stack([c.t for c in cands])
+            costs = np.asarray(_icp_cost_batch(qs, ts_, ps, ns, pt, nt,
+                                               sid, tid, w), np.float64)
+            costs = np.where([xj is None for xj in xs], np.inf, costs)
+            hit = next((j for j in range(10) if costs[j] < cost), None)
+            if hit is None:
+                lam = lams[-1] * 2.0
                 break
+            x = xs[hit]
+            q, t = cands[hit].q, cands[hit].t
+            lam = lams[hit] * 0.5
             if np.linalg.norm(x) < convergence_threshold:
                 break
         cost = float(_icp_cost(q, t, ps, ns, pt, nt, sid, tid, w, chunk=65536))

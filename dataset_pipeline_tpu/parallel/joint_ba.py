@@ -761,7 +761,8 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
                  refresh_visibility_every: int = 1,
                  icp_refresh_fn=None,
                  iterations_without_optimum: int = 15,
-                 system: Optional[JointBASystem] = None) -> JointBAResult:
+                 system: Optional[JointBASystem] = None,
+                 state: Optional[dict] = None) -> JointBAResult:
     """LM accept/reject driver over the sharded joint system.
 
     Per outer iteration: refresh visibility (one dispatch), then up to 10
@@ -776,7 +777,8 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
     """
     if system is None:
         system = JointBASystem(pack, current_scale)
-    state = make_state(pack)
+    if state is None:
+        state = make_state(pack)
     lam = lam0
     vis, obs_scale = system.visibility(state)
     cost, count = system.cost(state, vis, obs_scale)

@@ -55,10 +55,63 @@ def _render_all_faces(pos, cols, size: int):
     return jax.vmap(one)(R)
 
 
-def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int):
-    """Returns dict face_name -> (depth (S,S) f32, color (S,S,3) u8)."""
+# u16 log-depth WIRE encoding for the host fetch (the files stay raw f32):
+# rel. step ln(DQ_MAX/DQ_MIN)/65534 ~ 2.5e-4 — far below the depth response
+# of any consumer (SfMScaleEstimator's exp(mean log ratio) shifts by <1e-4)
+DQ_MIN, DQ_MAX = 1e-3, 1e4
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _render_one_face_q(pos, cols, Rf, size: int):
+    """One face with the depth quantized for transfer; used by the
+    PIPELINED TPU path (issue all faces async, fetch face k while face k+1
+    computes — the readback was the 2048^2 bottleneck)."""
+    f = size / 2.0
+    c = size // 2
+    p = (pos[:, None, :] * Rf[None, :, :]).sum(-1)
+    depth_raw, color_raw = render_points_depth_color(
+        p, cols, size, size, f, f, c, c)
+    depth = fill_depth_holes(depth_raw)
+    color, valid = fill_color_from_depth(depth_raw, color_raw)
+    color = flood_fill_colors(color, valid)
+    finite = jnp.isfinite(depth)
+    lo = float(np.log(DQ_MIN))
+    hi = float(np.log(DQ_MAX))
+    ln = jnp.log(jnp.clip(depth, DQ_MIN, DQ_MAX))
+    q = jnp.where(finite,
+                  jnp.clip((ln - lo) / (hi - lo) * 65534.0, 0.0, 65534.0
+                           ).astype(jnp.uint16),
+                  jnp.uint16(65535))
+    return q, color
+
+
+def _decode_depth(q: np.ndarray) -> np.ndarray:
+    lo, hi = np.log(DQ_MIN), np.log(DQ_MAX)
+    return np.where(q == 65535, np.inf,
+                    np.exp(q.astype(np.float64) / 65534.0 * (hi - lo) + lo)
+                    ).astype(np.float32)
+
+
+def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int,
+                    pipelined: bool = None):
+    """Returns dict face_name -> (depth (S,S) f32, color (S,S,3) u8).
+
+    On TPU (``pipelined`` defaults to the backend) the faces are dispatched
+    per-face ASYNC and fetched in order with u16 log-depth wire encoding:
+    the fetch of face k overlaps the compute of faces k+1.., and the wire
+    moves 5 B/px instead of 7 (the raw .depth files are unchanged — the
+    decode is host-side).
+    """
     pos = jnp.asarray(positions, jnp.float32)
     cols = jnp.asarray(colors if colors is not None else np.zeros((len(positions), 3), np.uint8))
+    if pipelined is None:
+        pipelined = jax.default_backend() not in ("cpu",)
+    if pipelined:
+        R = np.stack(CUBE_FACE_ROTATIONS).astype(np.float32)
+        pend = [_render_one_face_q(pos, cols, jnp.asarray(R[i]), size)
+                for i in range(6)]
+        return {name: (_decode_depth(np.asarray(q)), np.asarray(c))
+                for name, (q, c) in zip(CUBE_FACE_NAMES, pend)}
     depths, colors_out = _render_all_faces(pos, cols, size)
     depths = np.asarray(depths)
     colors_out = np.asarray(colors_out)

@@ -137,6 +137,10 @@ def main(argv=None) -> int:
     p.add_argument("--output_folder_path", required=True)
     p.add_argument("--max_iterations", type=int, default=20)
     p.add_argument("--lambda0", type=float, default=1.0)
+    p.add_argument("--start_scale", type=int, default=0,
+                   help="coarse-to-fine: run the LM schedule at image "
+                        "scales start_scale..0 (state carried across "
+                        "scales; 0 = single finest-scale run)")
     p.add_argument("--point_level", type=int, default=0,
                    help="multi-res point level fed to the joint rows")
     p.add_argument("--max_corr_distance", type=float, default=0.1,
@@ -217,9 +221,18 @@ def main(argv=None) -> int:
                                         args.max_corr_distance)
 
     with GLOBAL_TIMER.stage("joint_ba"):
-        res = run_joint_ba(pack, max_iterations=args.max_iterations,
-                           lam0=args.lambda0, icp_refresh_fn=icp_refresh,
-                           print_progress=True)
+        state = None
+        costs_all = []
+        for scale in range(max(args.start_scale, 0), -1, -1):
+            if args.start_scale > 0:
+                print(f"scale {scale}:")
+            res = run_joint_ba(pack, max_iterations=args.max_iterations,
+                               lam0=args.lambda0, current_scale=float(scale),
+                               icp_refresh_fn=icp_refresh, state=state,
+                               print_progress=True)
+            state = res.state
+            costs_all += res.costs
+        res.costs = costs_all
     print(f"joint BA: {res.iterations} iterations, {res.rows} rows, "
           f"cost {res.costs[0]:.6f} -> {res.costs[-1]:.6f}")
 
