@@ -1472,6 +1472,18 @@ class PhotometricOptimizer:
         return best_x is None
 
     def _lm_step(self, vis):
+        """One full LM step (accumulate + damped ladder), kept as the
+        composition of the two phases for tools/tests."""
+        H, bb, initial, offsets = self._lm_accumulate(vis)
+        return self._lm_solve_apply(H, bb, initial, offsets, vis)
+
+    def _lm_accumulate(self, vis):
+        """Phases 1-2 of the LM step: dispatch every (chunk, level, type)
+        H,b accumulation, assemble the big f64 system, and return the
+        weighted-mean ENTRY cost — the same quantity ``_total_cost``
+        computes, obtained from the same dispatches for free (the schedule
+        loop uses it for optimum tracking instead of a separate cost
+        pass)."""
         offsets_int, offsets_rig, offsets_pose, V = self._var_layout()
         H = np.zeros((V, V), np.float64)
         bb = np.zeros(V, np.float64)
@@ -1594,7 +1606,12 @@ class PhotometricOptimizer:
         )
         if self._lm_depth_sums[1] > 0:
             initial += self.depth_weight * self._lm_depth_sums[0] / self._lm_depth_sums[1]
+        return H, bb, initial, (offsets_int, offsets_rig, offsets_pose)
 
+    def _lm_solve_apply(self, H, bb, initial, offsets, vis):
+        """Phase 3: the damped accept/reject ladder
+        (``.cc:197-258`` semantics) over the assembled system."""
+        offsets_int, offsets_rig, offsets_pose = offsets
         applied = False
         max_change = 0.0
         for lm_try in range(10):
@@ -1608,7 +1625,7 @@ class PhotometricOptimizer:
                 continue
             new_params, new_extr, new_poses = self._candidate_state(
                 x, offsets_int, offsets_rig, offsets_pose)
-            cand_cost = self._total_cost(new_params, new_poses, self._frozen_vis)
+            cand_cost = self._total_cost(new_params, new_poses, vis)
             if cand_cost < initial or lm_try == 9:  # force-apply last try
                 for gi, g in enumerate(self.p.groups):
                     g.camera = g.camera.with_params(new_params[gi])
@@ -1635,41 +1652,68 @@ class PhotometricOptimizer:
         without_new = 0
         converged = False
         it = 0
-        self._frozen_vis = None
-        for it in range(max_iterations):
-            applied = True
-            max_change = math.inf
-            if it > 0:
-                applied, max_change = self._lm_step(self._frozen_vis)
-                if (self.obs_cache is not None
-                        and it % self.obs_cache_check_interval == 0):
-                    self._check_obs_cache_drift(print_progress)
+
+        def snapshot():
+            return ([(g.camera.params, g.poses) for g in self.p.groups],
+                    list(self.p.rig_extrinsics))
+
+        def refresh():
             occl = self._occlusion_depths()
             self._frozen_vis = self._visibility(occl)
             if self.variable_weight > 0:
-                self._var_desc = self._compute_variable_descriptors(self._frozen_vis)
+                self._var_desc = self._compute_variable_descriptors(
+                    self._frozen_vis)
+
+        # Loop structure (reference ``opt/optimizer.cc:49-182`` semantics,
+        # reordered so the H,b accumulation's own cost sums provide the
+        # per-iteration tracking cost — the observations are refreshed at
+        # the END of each iteration, so the accumulation at the TOP of the
+        # next one evaluates exactly what the reference's CostCalculator
+        # pass did, without a separate full cost dispatch):
+        #   refresh -> [accumulate(H,b,cost) -> track optimum -> ladder ->
+        #   refresh]* -> final-state cost -> restore optimum
+        refresh()
+        state_dirty = False
+        applied = True
+        max_change = math.inf
+        for it in range(max_iterations):
+            H, bb, cost, offsets = self._lm_accumulate(self._frozen_vis)
+            state_dirty = False
+            if print_progress:
+                print(f"  scale {self.current_scale} iter {it}: cost {cost:.6f}"
+                      f" lam {self.lam:.3g} max_change {max_change:.3g}")
+            if cost < optimum_cost:
+                optimum_cost = cost
+                optimum_state = snapshot()
+                without_new = 0
+            else:
+                without_new += 1
+            if without_new >= iterations_without_new_optimum_threshold:
+                converged = True
+                break
+            applied, max_change = self._lm_solve_apply(
+                H, bb, cost, offsets, self._frozen_vis)
+            state_dirty = applied
+            if (self.obs_cache is not None
+                    and (it + 1) % self.obs_cache_check_interval == 0):
+                self._check_obs_cache_drift(print_progress)
+            refresh()
+            if (not applied) or max_change < max_change_threshold:
+                converged = True
+                break
+        if state_dirty:
+            # the final applied state has not been cost-evaluated yet;
+            # include it in the optimum tracking (the old loop shape did)
             cost = self._total_cost(
                 [g.camera.params for g in self.p.groups],
                 [g.poses for g in self.p.groups],
                 self._frozen_vis,
             )
             if print_progress:
-                print(f"  scale {self.current_scale} iter {it}: cost {cost:.6f}"
-                      f" lam {self.lam:.3g} max_change {max_change:.3g}")
+                print(f"  scale {self.current_scale} final: cost {cost:.6f}")
             if cost < optimum_cost:
                 optimum_cost = cost
-                optimum_state = (
-                    [(g.camera.params, g.poses) for g in self.p.groups],
-                    list(self.p.rig_extrinsics),
-                )
-                without_new = 0
-            else:
-                without_new += 1
-            if (not applied) or max_change < max_change_threshold or (
-                without_new >= iterations_without_new_optimum_threshold
-            ):
-                converged = True
-                break
+                optimum_state = snapshot()
         if optimum_state is not None:
             group_state, rig_state = optimum_state
             for gi, g in enumerate(self.p.groups):
