@@ -372,21 +372,53 @@ class PointToPlaneICP:
         tid = jnp.asarray(pd(corr["tid"]))
         w = jnp.asarray(np.pad(np.ones(M, np.float32), (0, pad)))
 
+        # On TPU every H,b/cost evaluation routes through the FUSED Pallas
+        # kernel over the lane-major packed tensor: the XLA chunked path's
+        # (grid, chunk, 3) temporaries tile the 3-vector dim onto 128 lanes
+        # (42.7x padding — an HBM OOM beyond ~4M correspondences).
+        use_pallas = jax.default_backend() != "cpu"
+        if use_pallas:
+            from dataset_pipeline_tpu.ops.pallas_gn import (
+                icp_hb_cost_pallas_fused,
+                pack_icp_inputs,
+            )
+
+            data16 = pack_icp_inputs(ps, ns, pt, nt, w)
+
+            def hb_cost(q_, t_):
+                return icp_hb_cost_pallas_fused(q_, t_, data16, sid, tid, C)
+
+            def cost_of(q_, t_):
+                return float(np.asarray(hb_cost(q_, t_)[2]))
+
+            def cost_batch(qs_, ts_):
+                outs = [hb_cost(qs_[k], ts_[k])[2]
+                        for k in range(qs_.shape[0])]  # async dispatches
+                return np.asarray([float(np.asarray(c)) for c in outs])
+        else:
+            def hb_cost(q_, t_):
+                return _icp_hb_cost(q_, t_, ps, ns, pt, nt, sid, tid, w, C)
+
+            def cost_of(q_, t_):
+                return float(_icp_cost(q_, t_, ps, ns, pt, nt, sid, tid, w))
+
+            def cost_batch(qs_, ts_):
+                return np.asarray(_icp_cost_batch(qs_, ts_, ps, ns, pt, nt,
+                                                  sid, tid, w))
+
         q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (C, 1))
         t = jnp.zeros((C, 3), jnp.float32)
         lam = 0.1
         n_var = 6 * (C - 1)
         if n_var == 0:
-            cost = float(_icp_cost(q, t, ps, ns, pt, nt, sid, tid, w, 65536))
-            return np.asarray(q), np.asarray(t), cost
+            return np.asarray(q), np.asarray(t), cost_of(q, t)
 
         if self.use_device_lm:
             q, t, _ = _icp_inner_lm_device(
                 q, t, ps, ns, pt, nt, sid, tid, w, C, max_iterations,
                 convergence_threshold,
             )
-            cost = float(_icp_cost(q, t, ps, ns, pt, nt, sid, tid, w, 65536))
-            return np.asarray(q), np.asarray(t), cost
+            return np.asarray(q), np.asarray(t), cost_of(q, t)
 
         if self.use_moments:
             # Moment-matrix ACCELERATOR (icp/moments.py): one monomial Gram
@@ -406,7 +438,7 @@ class PointToPlaneICP:
                 icp_lm_from_moments,
             )
 
-            H0, _, _ = _icp_hb_cost(q, t, ps, ns, pt, nt, sid, tid, w, C)
+            H0, _, _ = hb_cost(q, t)
             Hv0 = np.asarray(H0, np.float64)[6:, 6:]
             evals, V = np.linalg.eigh(0.5 * (Hv0 + Hv0.T))
             lam_max = max(float(evals.max()), 1e-30)
@@ -432,17 +464,15 @@ class PointToPlaneICP:
                 P = compute_group_moments(groups_data)
 
                 def exact_cost(q_, t_):
-                    return float(_icp_cost(
-                        jnp.asarray(np.asarray(q_, np.float32)),
-                        jnp.asarray(np.asarray(t_, np.float32)),
-                        ps, ns, pt, nt, sid, tid, w))
+                    return cost_of(jnp.asarray(np.asarray(q_, np.float32)),
+                                   jnp.asarray(np.asarray(t_, np.float32)))
 
                 def exact_cost_batch(qs_, ts_):
-                    # the whole lambda ladder in ONE dispatch
-                    return np.asarray(_icp_cost_batch(
+                    # the whole lambda ladder as back-to-back dispatches
+                    # with one fetch wave (one batched dispatch on CPU)
+                    return cost_batch(
                         jnp.asarray(np.asarray(qs_, np.float32)),
-                        jnp.asarray(np.asarray(ts_, np.float32)),
-                        ps, ns, pt, nt, sid, tid, w))
+                        jnp.asarray(np.asarray(ts_, np.float32)))
 
                 qm, tm, _ = icp_lm_from_moments(
                     P, pairs, C, max_iterations, convergence_threshold,
@@ -452,7 +482,7 @@ class PointToPlaneICP:
                 t = jnp.asarray(np.asarray(tm, np.float32))
 
         for it in range(max_iterations):
-            H, b, cost = _icp_hb_cost(q, t, ps, ns, pt, nt, sid, tid, w, C)
+            H, b, cost = hb_cost(q, t)
             Hn = np.asarray(H, np.float64)[6:, 6:]
             bn = np.asarray(b, np.float64)[6:]
             cost = float(cost)
@@ -476,8 +506,7 @@ class PointToPlaneICP:
                 cands.append(SE3.exp(jnp.asarray(delta)).compose(cur))
             qs = jnp.stack([c.q for c in cands])
             ts_ = jnp.stack([c.t for c in cands])
-            costs = np.asarray(_icp_cost_batch(qs, ts_, ps, ns, pt, nt,
-                                               sid, tid, w), np.float64)
+            costs = np.asarray(cost_batch(qs, ts_), np.float64)
             costs = np.where([xj is None for xj in xs], np.inf, costs)
             hit = next((j for j in range(10) if costs[j] < cost), None)
             if hit is None:
@@ -488,8 +517,7 @@ class PointToPlaneICP:
             lam = lams[hit] * 0.5
             if np.linalg.norm(x) < convergence_threshold:
                 break
-        cost = float(_icp_cost(q, t, ps, ns, pt, nt, sid, tid, w, chunk=65536))
-        return np.asarray(q), np.asarray(t), cost
+        return np.asarray(q), np.asarray(t), cost_of(q, t)
 
     # -- public driver --------------------------------------------------------
 
