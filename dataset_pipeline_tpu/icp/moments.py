@@ -263,7 +263,7 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
                         convergence_threshold: float = 1e-7,
                         lam0: float = 0.1, center=None, cost_fn=None,
                         trunc_rel: float = 1e-4, basis=None,
-                        cost_batch_fn=None):
+                        cost_batch_fn=None, cost_floor_rel: float = 0.0):
     """The ENTIRE inner LM loop from precomputed moment matrices.
 
     Mirrors ``PointToPlaneICPImpl::compute``
@@ -342,6 +342,7 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
 
     H, b, _ = eval_G(q, t)
     cost = cost_fn(q, t)
+    cost0 = max(abs(cost), 1e-30)
     if n_var == 0:
         return q, t, cost
     if basis is not None and basis.shape[1] == 0:
@@ -421,6 +422,11 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
                 lam *= 2.0
         if not applied:
             break
+        if cost_floor_rel > 0.0 and abs(cost) < cost_floor_rel * cost0:
+            # the moment-form cost is approaching its absolute noise floor
+            # (~1e-7 * ||P||): stop the accelerated phase and hand over to
+            # the caller's exact finisher
+            break
         if x is not None and np.linalg.norm(x) < convergence_threshold:
             break
     return q, t, cost
@@ -454,6 +460,26 @@ def pack_group_data(groups, chunk: int = 16384, rows: int = 16):
         chunk_gid.extend([gi] * (Mp // chunk))
     data = np.concatenate(blocks, axis=1)
     return data, np.asarray(chunk_gid, np.int32)
+
+
+def compute_group_moments_from_packed(data_dev, chunk_gid, n_groups: int,
+                                      chunk: int = 49152):
+    """Per-group 42x42 f64 moment matrices from an ALREADY-UPLOADED packed
+    (16, Mp) device tensor (``pack_group_data`` layout, per-group padded) —
+    the engine path: one upload serves both the fused H,b/cost kernel and
+    the moment pass (a second 0.5 GB host->device transfer through the
+    relay would cost seconds)."""
+    from dataset_pipeline_tpu.ops.pallas_gn import (
+        icp_moment_pallas_tri_sub,
+        moment_tri_extract,
+    )
+
+    sub = 8192 if chunk % (3 * 8192) == 0 else chunk // 3
+    parts = np.asarray(
+        icp_moment_pallas_tri_sub(data_dev, chunk=chunk, sub=sub),
+        np.float64)
+    parts = moment_tri_extract(parts)
+    return [parts[chunk_gid == gi].sum(0) for gi in range(n_groups)]
 
 
 def compute_group_moments(groups, chunk: int = 49152,

@@ -364,37 +364,70 @@ class PointToPlaneICP:
         def pd(x):
             return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
-        ps = jnp.asarray(pd(corr["ps"]))
-        ns = jnp.asarray(pd(corr["ns"]))
-        pt = jnp.asarray(pd(corr["pt"]))
-        nt = jnp.asarray(pd(corr["nt"]))
-        sid = jnp.asarray(pd(corr["sid"]))
-        tid = jnp.asarray(pd(corr["tid"]))
-        w = jnp.asarray(np.pad(np.ones(M, np.float32), (0, pad)))
+        # the (B, 3) layout is only consumed by the XLA kernels (CPU) and
+        # the opt-in on-device-LM path; the TPU default works entirely off
+        # the packed tensor below, so skip these uploads there
+        if jax.default_backend() == "cpu" or self.use_device_lm:
+            ps = jnp.asarray(pd(corr["ps"]))
+            ns = jnp.asarray(pd(corr["ns"]))
+            pt = jnp.asarray(pd(corr["pt"]))
+            nt = jnp.asarray(pd(corr["nt"]))
+            sid = jnp.asarray(pd(corr["sid"]))
+            tid = jnp.asarray(pd(corr["tid"]))
+            w = jnp.asarray(np.pad(np.ones(M, np.float32), (0, pad)))
+
+        # per-group views of the concatenated correspondence arrays
+        group_slices, group_pairs = [], []
+        ofs = 0
+        for (s_, tg_, cnt_) in corr["groups"]:
+            group_slices.append(slice(ofs, ofs + cnt_))
+            group_pairs.append((s_, tg_))
+            ofs += cnt_
 
         # On TPU every H,b/cost evaluation routes through the FUSED Pallas
         # kernel over the lane-major packed tensor: the XLA chunked path's
         # (grid, chunk, 3) temporaries tile the 3-vector dim onto 128 lanes
-        # (42.7x padding — an HBM OOM beyond ~4M correspondences).
+        # (42.7x padding — an HBM OOM beyond ~4M correspondences). The pack
+        # is per-GROUP padded (pack_group_data layout) so the SAME single
+        # ~64 B/corr upload also feeds the moment pass.
         use_pallas = jax.default_backend() != "cpu"
         if use_pallas:
+            from dataset_pipeline_tpu.icp.moments import pack_group_data
             from dataset_pipeline_tpu.ops.pallas_gn import (
                 icp_hb_cost_pallas_fused,
-                pack_icp_inputs,
             )
 
-            data16 = pack_icp_inputs(ps, ns, pt, nt, w)
+            groups_data = [
+                {"ps": corr["ps"][sl], "ns": corr["ns"][sl],
+                 "pt": corr["pt"][sl], "nt": corr["nt"][sl]}
+                for sl in group_slices
+            ]
+            chunk_p = 49152
+            data_np, chunk_gid = pack_group_data(groups_data, chunk=chunk_p)
+            Mp = data_np.shape[1]
+            sid_np = np.zeros(Mp, np.int32)
+            tid_np = np.zeros(Mp, np.int32)
+            for ci, gi in enumerate(chunk_gid):
+                s_, tg_ = group_pairs[gi]
+                sid_np[ci * chunk_p:(ci + 1) * chunk_p] = s_
+                tid_np[ci * chunk_p:(ci + 1) * chunk_p] = tg_
+            data16 = jnp.asarray(data_np)
+            sidp = jnp.asarray(sid_np)
+            tidp = jnp.asarray(tid_np)
 
             def hb_cost(q_, t_):
-                return icp_hb_cost_pallas_fused(q_, t_, data16, sid, tid, C)
+                return icp_hb_cost_pallas_fused(q_, t_, data16, sidp, tidp,
+                                                C, chunk=chunk_p)
 
             def cost_of(q_, t_):
                 return float(np.asarray(hb_cost(q_, t_)[2]))
 
             def cost_batch(qs_, ts_):
+                # dispatch all candidates async, then ONE fetch round trip
+                # (each np.asarray through the relay costs ~150 ms)
                 outs = [hb_cost(qs_[k], ts_[k])[2]
-                        for k in range(qs_.shape[0])]  # async dispatches
-                return np.asarray([float(np.asarray(c)) for c in outs])
+                        for k in range(qs_.shape[0])]
+                return np.asarray(jax.device_get(outs), np.float64)
         else:
             def hb_cost(q_, t_):
                 return _icp_hb_cost(q_, t_, ps, ns, pt, nt, sid, tid, w, C)
@@ -435,6 +468,7 @@ class PointToPlaneICP:
             # exact direct path alone.
             from dataset_pipeline_tpu.icp.moments import (
                 compute_group_moments,
+                compute_group_moments_from_packed,
                 icp_lm_from_moments,
             )
 
@@ -450,39 +484,36 @@ class PointToPlaneICP:
                 center = 0.5 * (corr["ps"].mean(0, dtype=np.float64)
                                 + corr["pt"].mean(0, dtype=np.float64))
                 c32 = center.astype(np.float32)
-                groups_data = []
-                pairs = []
-                ofs = 0
-                for (s, tg, cnt) in corr["groups"]:
-                    sl = slice(ofs, ofs + cnt)
-                    groups_data.append({
-                        "ps": corr["ps"][sl] - c32, "ns": corr["ns"][sl],
-                        "pt": corr["pt"][sl] - c32, "nt": corr["nt"][sl],
-                    })
-                    pairs.append((s, tg))
-                    ofs += cnt
-                P = compute_group_moments(groups_data)
+                pairs = group_pairs
+                if use_pallas:
+                    # center the ALREADY-UPLOADED pack on device (padding
+                    # rows have w=0 so their shifted monomials vanish)
+                    centered = data16.at[0:3, :].add(-c32[:, None])
+                    centered = centered.at[6:9, :].add(-c32[:, None])
+                    P = compute_group_moments_from_packed(
+                        centered, chunk_gid, len(pairs), chunk=chunk_p)
+                else:
+                    groups_c = [
+                        {"ps": corr["ps"][sl] - c32, "ns": corr["ns"][sl],
+                         "pt": corr["pt"][sl] - c32, "nt": corr["nt"][sl]}
+                        for sl in group_slices
+                    ]
+                    P = compute_group_moments(groups_c)
 
-                def exact_cost(q_, t_):
-                    return cost_of(jnp.asarray(np.asarray(q_, np.float32)),
-                                   jnp.asarray(np.asarray(t_, np.float32)))
-
-                def exact_cost_batch(qs_, ts_):
-                    # the whole lambda ladder as back-to-back dispatches
-                    # with one fetch wave (one batched dispatch on CPU)
-                    return cost_batch(
-                        jnp.asarray(np.asarray(qs_, np.float32)),
-                        jnp.asarray(np.asarray(ts_, np.float32)))
-
+                # the accelerated phase runs ENTIRELY on host moment math
+                # (zero device dispatches per iteration): ladder decisions
+                # use the moment-form cost, which is reliable until it
+                # approaches its absolute noise floor — the cost_floor_rel
+                # stop hands over to the exact direct finisher below well
+                # before that point
                 qm, tm, _ = icp_lm_from_moments(
                     P, pairs, C, max_iterations, convergence_threshold,
-                    center=center, cost_fn=exact_cost, basis=basis,
-                    cost_batch_fn=exact_cost_batch)
+                    center=center, basis=basis, cost_floor_rel=1e-4)
                 q = jnp.asarray(np.asarray(qm, np.float32))
                 t = jnp.asarray(np.asarray(tm, np.float32))
 
         for it in range(max_iterations):
-            H, b, cost = hb_cost(q, t)
+            H, b, cost = jax.device_get(hb_cost(q, t))  # one fetch round
             Hn = np.asarray(H, np.float64)[6:, 6:]
             bn = np.asarray(b, np.float64)[6:]
             cost = float(cost)

@@ -436,6 +436,8 @@ def icp_hb_cost_pallas_fused(q, t, data, sid, tid,
         ],
         out_specs=pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, S), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q.astype(jnp.float32), t.astype(jnp.float32), data, sid_t, tid_t)
     n = 6 * C
