@@ -62,27 +62,20 @@ DQ_MIN, DQ_MAX = 1e-3, 1e4
 
 
 @partial(jax.jit, static_argnames=("size",))
-def _render_one_face_q(pos, cols, Rf, size: int):
-    """One face with the depth quantized for transfer; used by the
-    PIPELINED TPU path (issue all faces async, fetch face k while face k+1
-    computes — the readback was the 2048^2 bottleneck)."""
-    f = size / 2.0
-    c = size // 2
-    p = (pos[:, None, :] * Rf[None, :, :]).sum(-1)
-    depth_raw, color_raw = render_points_depth_color(
-        p, cols, size, size, f, f, c, c)
-    depth = fill_depth_holes(depth_raw)
-    color, valid = fill_color_from_depth(depth_raw, color_raw)
-    color = flood_fill_colors(color, valid)
-    finite = jnp.isfinite(depth)
+def _render_all_faces_q(pos, cols, size: int):
+    """All 6 faces in one dispatch with the depth quantized for transfer;
+    the TPU path (the 2048^2 readback through the relay was the
+    bottleneck: u16 log-depth moves 5 B/px instead of 7)."""
+    depths, colors = _render_all_faces(pos, cols, size)
+    finite = jnp.isfinite(depths)
     lo = float(np.log(DQ_MIN))
     hi = float(np.log(DQ_MAX))
-    ln = jnp.log(jnp.clip(depth, DQ_MIN, DQ_MAX))
+    ln = jnp.log(jnp.clip(depths, DQ_MIN, DQ_MAX))
     q = jnp.where(finite,
                   jnp.clip((ln - lo) / (hi - lo) * 65534.0, 0.0, 65534.0
                            ).astype(jnp.uint16),
                   jnp.uint16(65535))
-    return q, color
+    return q, colors
 
 
 def _decode_depth(q: np.ndarray) -> np.ndarray:
@@ -96,22 +89,22 @@ def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int,
                     pipelined: bool = None):
     """Returns dict face_name -> (depth (S,S) f32, color (S,S,3) u8).
 
-    On TPU (``pipelined`` defaults to the backend) the faces are dispatched
-    per-face ASYNC and fetched in order with u16 log-depth wire encoding:
-    the fetch of face k overlaps the compute of faces k+1.., and the wire
-    moves 5 B/px instead of 7 (the raw .depth files are unchanged — the
-    decode is host-side).
+    On TPU (``pipelined`` defaults to the backend) the depth crosses the
+    relay as u16 log-depth — 5 B/px instead of 7; the raw .depth FILES are
+    unchanged (host-side exact decode). Per-face async pipelining was
+    measured and does NOT help: the relay serializes compute and
+    transfer, so one big dispatch + one smaller fetch wins.
     """
     pos = jnp.asarray(positions, jnp.float32)
     cols = jnp.asarray(colors if colors is not None else np.zeros((len(positions), 3), np.uint8))
     if pipelined is None:
         pipelined = jax.default_backend() not in ("cpu",)
     if pipelined:
-        R = np.stack(CUBE_FACE_ROTATIONS).astype(np.float32)
-        pend = [_render_one_face_q(pos, cols, jnp.asarray(R[i]), size)
-                for i in range(6)]
-        return {name: (_decode_depth(np.asarray(q)), np.asarray(c))
-                for name, (q, c) in zip(CUBE_FACE_NAMES, pend)}
+        q, c = _render_all_faces_q(pos, cols, size)
+        q = np.asarray(q)
+        c = np.asarray(c)
+        return {name: (_decode_depth(q[i]), c[i])
+                for i, name in enumerate(CUBE_FACE_NAMES)}
     depths, colors_out = _render_all_faces(pos, cols, size)
     depths = np.asarray(depths)
     colors_out = np.asarray(colors_out)
