@@ -82,7 +82,8 @@ class JointBAPack:
     scene_neighbors: jnp.ndarray   # (n_scenes, N_max, K) int32
     scene_desc: jnp.ndarray        # (n_scenes, N_max, K) f32
     scene_valid: jnp.ndarray       # (n_scenes, N_max) bool
-    scene_radius: jnp.ndarray      # (n_scenes,) f32
+    scene_radius: jnp.ndarray      # (n_scenes, N_max) PER-POINT footprint
+                                   # radii (multi-resolution levels concat)
     scan_col: jnp.ndarray          # (n_scenes, s_max) free-block id or -1
     expand: jnp.ndarray            # (n_scenes, Dk, n_keep) block expansion
     # per-image (sharded over all mesh axes)
@@ -131,14 +132,28 @@ def make_state(pack: JointBAPack) -> dict:
 def pack_scenes(mesh: Mesh, scenes, optimize_intrinsics: bool = True,
                 occl_downscale: int = 2,
                 occlusion_radius: float = 0.03,
-                occlusion_depth_threshold: float = 0.01) -> JointBAPack:
+                occlusion_depth_threshold: float = 0.01,
+                all_levels: bool = True) -> JointBAPack:
     """Pack a list of ``JointScene`` (see ``parallel.ba``) for the
-    device-side system. All scenes must share one camera."""
+    device-side system. All scenes must share one camera.
+
+    ``all_levels`` (default): EVERY multi-resolution point level of each
+    scene's problem is concatenated (per-point footprint radii, neighbor
+    indices offset per level) so the joint rows span the full multi-res
+    cloud like the single-scene engine; ``False`` restricts to each
+    scene's ``level_idx`` (the round-3 behavior, kept for the equality
+    twins)."""
     cam = scenes[0].problem.groups[0].camera
     n_int = len(np.asarray(cam.params)) if optimize_intrinsics else 0
     n_scenes = len(scenes)
     s_max = max(sc.num_scans for sc in scenes)
-    n_max = max(sc.problem.levels[sc.level_idx].points.shape[0]
+
+    def scene_levels(sc):
+        if all_levels:
+            return list(sc.problem.levels)
+        return [sc.problem.levels[sc.level_idx]]
+
+    n_max = max(sum(lv.points.shape[0] for lv in scene_levels(sc))
                 for sc in scenes)
     K = scenes[0].problem.levels[scenes[0].level_idx].neighbors.shape[1]
     nd = int(mesh.devices.size)
@@ -168,16 +183,20 @@ def pack_scenes(mesh: Mesh, scenes, optimize_intrinsics: bool = True,
     sn = np.zeros((n_scenes, n_max, K), np.int32)
     sd = np.zeros((n_scenes, n_max, K), np.float32)
     sv = np.zeros((n_scenes, n_max), bool)
-    sr = np.zeros((n_scenes,), np.float32)
+    sr = np.zeros((n_scenes, n_max), np.float32)
     for si, sc in enumerate(scenes):
-        lv = sc.problem.levels[sc.level_idx]
-        n = lv.points.shape[0]
-        sp[si, :n] = np.asarray(lv.points)
-        ss[si, :n] = np.asarray(lv.scan_indices)
-        sn[si, :n] = np.asarray(lv.neighbors)
-        sd[si, :n] = np.asarray(lv.fixed_descriptors)
-        sv[si, :n] = True
-        sr[si] = lv.radius
+        off = 0
+        for lv in scene_levels(sc):
+            n = lv.points.shape[0]
+            sl = slice(off, off + n)
+            sp[si, sl] = np.asarray(lv.points)
+            ss[si, sl] = np.asarray(lv.scan_indices)
+            # neighbor indices are within-level: offset into the concat
+            sn[si, sl] = np.asarray(lv.neighbors) + off
+            sd[si, sl] = np.asarray(lv.fixed_descriptors)
+            sv[si, sl] = True
+            sr[si, sl] = lv.radius
+            off += n
 
     # images, scene-major
     img_scene, pose_q, pose_t = [], [], []

@@ -66,17 +66,22 @@ def build_scene(mlp_path: str, state_dir: str, image_base: str, params,
         min_radius_bias=params.min_radius_bias,
         merge_distance_factor=params.merge_distance_factor,
         occlusion_threshold=params.occlusion_depth_threshold)
-    li = min(point_level, len(levels_raw) - 1)
-    level = build_photo_level(
-        levels_raw[li], k=params.point_neighbor_count, seed=li,
-        num_candidates=params.point_neighbor_candidate_count,
-        min_mean_diff=params.min_mean_intensity_difference_for_points)
-    if level is None:
-        raise SystemExit(f"joint_ba: point level {li} of {mlp_path} is empty "
+    if point_level >= 0:
+        levels_raw = [levels_raw[min(point_level, len(levels_raw) - 1)]]
+    levels = []
+    for li, lr in enumerate(levels_raw):
+        lv = build_photo_level(
+            lr, k=params.point_neighbor_count, seed=li,
+            num_candidates=params.point_neighbor_candidate_count,
+            min_mean_diff=params.min_mean_intensity_difference_for_points)
+        if lv is not None:
+            levels.append(lv)
+    if not levels:
+        raise SystemExit(f"joint_ba: no usable point level in {mlp_path} "
                          "after the gradient filter")
 
     problem = PhotoProblem(
-        groups=[g], levels=[level],
+        groups=[g], levels=levels,
         occlusion_points=jnp.asarray(all_pts.astype(np.float32)),
         occlusion_radius=params.splat_radius,
         scale_count=global_count,
@@ -141,8 +146,9 @@ def main(argv=None) -> int:
                    help="coarse-to-fine: run the LM schedule at image "
                         "scales start_scale..0 (state carried across "
                         "scales; 0 = single finest-scale run)")
-    p.add_argument("--point_level", type=int, default=0,
-                   help="multi-res point level fed to the joint rows")
+    p.add_argument("--point_level", type=int, default=-1,
+                   help="restrict the joint rows to ONE multi-res point "
+                        "level (-1 = all levels, per-point footprint radii)")
     p.add_argument("--max_corr_distance", type=float, default=0.1,
                    help="ICP correspondence gate (normalized units); 0 "
                         "disables ICP rows")
@@ -193,7 +199,8 @@ def main(argv=None) -> int:
         n_icp = 0 if sc.icp is None else len(sc.icp[0])
         print(f"scene {len(scenes) - 1}: {sc.num_scans} scans, "
               f"{sc.num_images} images, "
-              f"{sc.problem.levels[0].points.shape[0]} points, "
+              f"{sum(int(l.points.shape[0]) for l in sc.problem.levels)} points "
+              f"({len(sc.problem.levels)} levels), "
               f"{n_icp} ICP correspondences")
 
     cam0 = scenes[0].problem.groups[0].camera

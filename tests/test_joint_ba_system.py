@@ -162,6 +162,40 @@ def test_joint_ba_driver_descends_and_recovers():
         assert err_after < 0.6 * err_before, (si, err_before, err_after)
 
 
+def test_pack_multi_level_concat():
+    """all_levels packing concatenates every point level with per-point
+    footprint radii and level-offset neighbor indices; the system's
+    visibility/rows then span the full multi-resolution cloud."""
+    _, scenes, _ = _make_scenes()
+    # give scene 0 a second (coarser) level: first 200 points, 4x radius
+    pr = scenes[0].problem
+    lv0 = pr.levels[0]
+    import jax.numpy as jnp2
+
+    lv1 = type(lv0)(lv0.points[:200], lv0.intensities[:200],
+                    lv0.scan_indices[:200],
+                    jnp2.clip(lv0.neighbors[:200], 0, 199),
+                    lv0.fixed_descriptors[:200], lv0.radius * 4)
+    pr.levels.append(lv1)
+    mesh = make_data_mesh()
+    pack = pack_scenes(mesh, scenes, optimize_intrinsics=False)
+    n0 = int(lv0.points.shape[0])
+    assert pack.scene_points.shape[1] >= n0 + 200
+    sr = np.asarray(pack.scene_radius)
+    assert np.isclose(sr[0, 0], lv0.radius)
+    assert np.isclose(sr[0, n0], lv0.radius * 4)
+    # level-1 neighbors offset into the concatenation
+    sn = np.asarray(pack.scene_neighbors)
+    assert sn[0, n0:n0 + 200].min() >= n0
+    # the packed system still runs end-to-end
+    system = JointBASystem(pack)
+    state = make_state(pack)
+    vis, osc = system.visibility(state)
+    xk, xi, cost, count = system.step(state, vis, osc, 1e-2)
+    assert np.isfinite(float(cost)) and int(count) > 0
+    pr.levels.pop()  # restore for other tests
+
+
 def test_pack_padding_and_gauge():
     _, scenes, _ = _make_scenes()
     mesh = make_data_mesh()
