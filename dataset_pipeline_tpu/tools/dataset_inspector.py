@@ -92,6 +92,9 @@ def main(argv=None) -> int:
     p.add_argument("--nudge", default="",
                    help="'tx ty tz pitch yaw roll' se(3) delta applied as "
                         "exp(delta) . image_T_global (camera frame)")
+    p.add_argument("--occlusion_depth_saturation", type=float, default=20.0,
+                   help="depth at which the occlusion-depth visualization "
+                        "saturates (dataset_inspector.cc:78-79)")
     # identical knob set to ImageRegistrator (README.md:770-771; the
     # reference passes the same opt::Parameters flags to both tools)
     Parameters().add_to_argparser(p)
@@ -244,7 +247,8 @@ def main(argv=None) -> int:
             od = np.asarray(render_splats_depth(
                 p_cam, jnp.full((len(pts),), params.splat_radius, jnp.float32),
                 cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy))
-            Image.fromarray(_colormap(od, vmin, vmax)).save(
+            Image.fromarray(_colormap(
+                od, 0.0, args.occlusion_depth_saturation)).save(
                 os.path.join(args.output_folder_path, f"{base}.occlusion.png"))
         if "scan" in modes:
             _, rgb = render_points_depth_color(

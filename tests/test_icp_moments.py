@@ -121,6 +121,34 @@ def test_moments_jax_many_groups():
     np.testing.assert_allclose(float(c_j), c_np, rtol=2e-4)
 
 
+def test_batched_ladder_matches_sequential():
+    """The one-dispatch lambda ladder (cost_batch_fn) must reproduce the
+    sequential try loop's trajectory EXACTLY — H, b are fixed within a
+    ladder, so accepting the first improving candidate is equivalent."""
+    rng = np.random.RandomState(3)
+    C = 3
+    groups, pairs, _ = _random_groups(rng, C, per_group=301)
+    P = compute_group_moments(groups, force_xla=True)
+
+    def exact(q_, t_):
+        from dataset_pipeline_tpu.icp.moments import hb_cost_from_moments
+
+        return hb_cost_from_moments(P, pairs, q_, t_, C)[2]
+
+    def exact_batch(qs_, ts_):
+        return np.asarray([exact(np.asarray(qs_[k]), np.asarray(ts_[k]))
+                           for k in range(len(qs_))])
+
+    q_seq, t_seq, c_seq = icp_lm_from_moments(
+        P, pairs, C, max_iterations=12, cost_fn=exact)
+    q_bat, t_bat, c_bat = icp_lm_from_moments(
+        P, pairs, C, max_iterations=12, cost_fn=exact,
+        cost_batch_fn=exact_batch)
+    np.testing.assert_array_equal(q_bat, q_seq)
+    np.testing.assert_array_equal(t_bat, t_seq)
+    assert c_bat == c_seq
+
+
 def test_moment_pallas_interpret_matches_xla():
     rng = np.random.RandomState(3)
     groups, pairs, _ = _random_groups(rng, C=2, per_group=100)
