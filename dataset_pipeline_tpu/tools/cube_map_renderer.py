@@ -72,9 +72,9 @@ def _render_all_faces_q(pos, cols, size: int):
     hi = float(np.log(DQ_MAX))
     ln = jnp.log(jnp.clip(depths, DQ_MIN, DQ_MAX))
     q = jnp.where(finite,
-                  jnp.clip((ln - lo) / (hi - lo) * 65534.0, 0.0, 65534.0
-                           ).astype(jnp.uint16),
-                  jnp.uint16(65535))
+                  (jnp.clip((ln - lo) / (hi - lo) * 65534.0, 0.0, 65534.0)
+                   + 0.5).astype(jnp.uint16),  # round-to-nearest: half-step
+                  jnp.uint16(65535))           # max error ~1.2e-4 relative
     return q, colors
 
 
