@@ -781,7 +781,8 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
                  icp_refresh_fn=None,
                  iterations_without_optimum: int = 15,
                  system: Optional[JointBASystem] = None,
-                 state: Optional[dict] = None) -> JointBAResult:
+                 state: Optional[dict] = None,
+                 on_iteration=None) -> JointBAResult:
     """LM accept/reject driver over the sharded joint system.
 
     Per outer iteration: refresh visibility (one dispatch), then up to 10
@@ -840,6 +841,10 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
             since_optimum += 1
         if print_progress:
             print(f"  joint BA iter {it}: cost {cost:.6f} lam {lam:.2e}")
+        if on_iteration is not None:
+            # crash-resilience hook (the reference's write-every-iteration
+            # idiom, exe/icp_scan_aligner.cc:356-365)
+            on_iteration(it, state, cost)
         if not applied or since_optimum >= iterations_without_optimum:
             break
         step_norm = (float(np.linalg.norm(np.asarray(x_keep)))

@@ -227,6 +227,30 @@ def main(argv=None) -> int:
             refresh_icp_correspondences(pk, st, clouds,
                                         args.max_corr_distance)
 
+    # interruptibility (the reference's write-every-iteration idiom,
+    # icp_scan_aligner.cc:356-365): refresh every scene's .mlp per accepted
+    # iteration so a killed run leaves usable scan poses behind
+    from dataset_pipeline_tpu.io.scans import write_scan_poses
+    from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
+
+    os.makedirs(args.output_folder_path, exist_ok=True)
+
+    def write_mlps(st):
+        cq = np.asarray(st["corr_q"], np.float64)
+        ct = np.asarray(st["corr_t"], np.float64)
+        for si2, (scans2, _) in enumerate(metas):
+            out2 = os.path.join(args.output_folder_path, f"scene_{si2}")
+            os.makedirs(out2, exist_ok=True)
+            mats = []
+            for s in range(len(scans2.infos)):
+                M = scans2.global_matrix(s)
+                Cm = np.eye(4)
+                Cm[:3, :3] = quat_to_matrix_np(cq[si2, s])
+                Cm[:3, 3] = ct[si2, s]
+                mats.append(Cm @ M)
+            write_scan_poses(os.path.join(out2, "scan_alignment.mlp"),
+                             scans2, mats)
+
     with GLOBAL_TIMER.stage("joint_ba"):
         state = None
         costs_all = []
@@ -236,6 +260,7 @@ def main(argv=None) -> int:
             res = run_joint_ba(pack, max_iterations=args.max_iterations,
                                lam0=args.lambda0, current_scale=float(scale),
                                icp_refresh_fn=icp_refresh, state=state,
+                               on_iteration=lambda it, st, c: write_mlps(st),
                                print_progress=True)
             state = res.state
             costs_all += res.costs
@@ -243,16 +268,12 @@ def main(argv=None) -> int:
     print(f"joint BA: {res.iterations} iterations, {res.rows} rows, "
           f"cost {res.costs[0]:.6f} -> {res.costs[-1]:.6f}")
 
-    # export per scene
-    from dataset_pipeline_tpu.io.scans import write_scan_poses
+    # export per scene (the final/optimum state; .mlp poses via write_mlps)
     from dataset_pipeline_tpu.io.state import (
         ImageState, ModelState, save_colmap_state,
     )
-    from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
 
-    os.makedirs(args.output_folder_path, exist_ok=True)
-    corr_q = np.asarray(res.state["corr_q"], np.float64)
-    corr_t = np.asarray(res.state["corr_t"], np.float64)
+    write_mlps(res.state)
     pose_q = np.asarray(res.state["pose_q"], np.float64)
     pose_t = np.asarray(res.state["pose_t"], np.float64)
     new_params = np.asarray(res.state["params"], np.float64)
@@ -260,15 +281,6 @@ def main(argv=None) -> int:
     for si, (sc, (scans, state)) in enumerate(zip(scenes, metas)):
         out = os.path.join(args.output_folder_path, f"scene_{si}")
         os.makedirs(out, exist_ok=True)
-        # scan poses: new global_T_mesh = corr . old (left-multiplicative)
-        mats = []
-        for s in range(len(scans.infos)):
-            M = scans.global_matrix(s)
-            C = np.eye(4)
-            C[:3, :3] = quat_to_matrix_np(corr_q[si, s])
-            C[:3, 3] = corr_t[si, s]
-            mats.append(C @ M)
-        write_scan_poses(os.path.join(out, "scan_alignment.mlp"), scans, mats)
         # COLMAP state: updated image poses + shared intrinsics
         g = sc.problem.groups[0]
         cam_new = (g.camera if args.fix_intrinsics
