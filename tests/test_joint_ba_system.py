@@ -196,6 +196,69 @@ def test_pack_multi_level_concat():
     pr.levels.pop()  # restore for other tests
 
 
+def test_refresh_icp_correspondences():
+    """Host-side ICP target refresh: after a scan correction moves the
+    clouds, re-found targets must be the nearest under the CURRENT state
+    (stored in the initial frame), with out-of-gate rows weight-zeroed and
+    shapes unchanged (no recompile)."""
+    import jax.numpy as jnp2
+
+    from dataset_pipeline_tpu.parallel.joint_ba import (
+        refresh_icp_correspondences,
+    )
+
+    _, scenes, _ = _make_scenes()
+    mesh = make_data_mesh()
+    pack = pack_scenes(mesh, scenes, optimize_intrinsics=False)
+    state = make_state(pack)
+    # clouds for scene 0's two scans in the INITIAL frame
+    lv = scenes[0].problem.levels[0]
+    pts = np.asarray(lv.points)
+    scans = np.asarray(lv.scan_indices)
+    rngn = np.random.RandomState(0)
+    clouds = {}
+    for si in range(2):
+        for s in range(2):
+            pr = np.asarray(scenes[si].problem.levels[0].points)
+            sc = np.asarray(scenes[si].problem.levels[0].scan_indices)
+            p_ = pr[sc == s]
+            n_ = rngn.randn(len(p_), 3).astype(np.float32)
+            n_ /= np.linalg.norm(n_, axis=1, keepdims=True)
+            clouds[(si, s)] = (p_, n_)
+
+    shapes = (pack.icp_pt.shape, pack.icp_nt.shape, pack.icp_w.shape)
+    pt_before = np.asarray(pack.icp_pt).copy()
+    # move scene 0 scan 1 by a visible offset, then refresh
+    cq = np.asarray(state["corr_q"]).copy()
+    ct = np.asarray(state["corr_t"]).copy()
+    ct[0, 1] = [0.03, 0.0, 0.0]
+    state["corr_t"] = jnp2.asarray(ct)
+    refresh_icp_correspondences(pack, state, clouds, max_dist=0.1)
+    assert (pack.icp_pt.shape, pack.icp_nt.shape,
+            pack.icp_w.shape) == shapes
+    pt_after = np.asarray(pack.icp_pt)
+    w_after = np.asarray(pack.icp_w)
+    scene_arr = np.asarray(pack.icp_scene)
+    tgt_arr = np.asarray(pack.icp_tgt_s)
+    moved = (scene_arr == 0) & (w_after > 0)
+    assert moved.any()
+    # targets changed for a good share of scene-0 rows
+    changed = np.abs(pt_after[moved] - pt_before[moved]).max(1) > 0
+    assert changed.mean() > 0.2
+    # spot-check: refreshed target = nearest target-cloud point under the
+    # CURRENT corrected state
+    rows = np.nonzero(moved)[0][:50]
+    for r in rows:
+        t_ = int(tgt_arr[r])
+        tp, _ = clouds[(0, t_)]
+        corr_t_src = ct[0, int(np.asarray(pack.icp_src_s)[r])]
+        corr_t_tgt = ct[0, t_]
+        q_cur = np.asarray(pack.icp_ps)[r] + corr_t_src
+        d = np.linalg.norm(tp + corr_t_tgt - q_cur, axis=1)
+        expect = tp[np.argmin(d)]
+        np.testing.assert_allclose(pt_after[r], expect, atol=1e-5)
+
+
 def test_pack_padding_and_gauge():
     _, scenes, _ = _make_scenes()
     mesh = make_data_mesh()
