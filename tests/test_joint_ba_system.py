@@ -196,6 +196,38 @@ def test_pack_multi_level_concat():
     pr.levels.pop()  # restore for other tests
 
 
+def test_joint_ba_distorted_camera_step():
+    """The device-side rows work for ANY registered camera model (the
+    Jacobian chain runs through the generic projection): one OPENCV-model
+    scene must produce a finite descending step."""
+    import jax.numpy as jnp2
+
+    cam = cm.make_camera("OPENCV", W, H,
+                         [F, F * 1.01, CX, CY, 0.05, -0.01, 1e-3, -5e-4])
+    rng = np.random.RandomState(3)
+    problem, icp, d_scan, _ = _build_scene(
+        31, cam, 0.3, 0.006 * rng.randn(6).astype(np.float32),
+        0.002 * rng.randn(2, 6).astype(np.float32))
+    lv = problem.levels[0]
+    problem.levels[0] = type(lv)(lv.points, lv.intensities, lv.scan_indices,
+                                 lv.neighbors, lv.fixed_descriptors, 0.013)
+    mesh = make_data_mesh()
+    pack = pack_scenes(mesh, [JointScene(problem, 0, icp, icp_weight=5.0)],
+                       optimize_intrinsics=True)
+    assert pack.n_int == 8
+    system = JointBASystem(pack)
+    state = make_state(pack)
+    vis, osc = system.visibility(state)
+    cost0, count = system.cost(state, vis, osc)
+    assert int(count) > 200
+    xk, xi, _, _ = system.step(state, vis, osc, 1e-1)
+    assert np.isfinite(np.asarray(xk)).all()
+    assert np.isfinite(np.asarray(xi)).all()
+    cand = apply_delta(pack, state, xk, xi)
+    c1, _ = system.cost(cand, vis, osc)
+    assert float(c1) < float(cost0)
+
+
 def test_refresh_icp_correspondences():
     """Host-side ICP target refresh: after a scan correction moves the
     clouds, re-found targets must be the nearest under the CURRENT state
