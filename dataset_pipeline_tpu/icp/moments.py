@@ -263,7 +263,8 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
                         convergence_threshold: float = 1e-7,
                         lam0: float = 0.1, center=None, cost_fn=None,
                         trunc_rel: float = 1e-4, basis=None,
-                        cost_batch_fn=None, cost_floor_rel: float = 0.0):
+                        cost_batch_fn=None, cost_floor_rel: float = 0.0,
+                        cost_floor_abs: float = 0.0):
     """The ENTIRE inner LM loop from precomputed moment matrices.
 
     Mirrors ``PointToPlaneICPImpl::compute``
@@ -347,6 +348,13 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
         return q, t, cost
     if basis is not None and basis.shape[1] == 0:
         return q, t, cost  # fully rank-deficient: nothing the LM may move
+    # the RELATIVE floor never triggers when the phase STARTS near
+    # convergence; the ABSOLUTE floor (tied by the caller to ~1e-7*||P||,
+    # the f32 moment noise) covers that case — running past it would make
+    # the ladder accept noise steps the exact finisher must undo
+    floor = max(cost_floor_rel * cost0, cost_floor_abs)
+    if cost_floor_abs > 0.0 and abs(cost) < cost_floor_abs:
+        return q, t, cost
 
     for _ in range(max_iterations):
         Hv, bv = H[6:, 6:], b[6:]
@@ -422,14 +430,31 @@ def icp_lm_from_moments(P_groups, group_pairs, num_clouds: int,
                 lam *= 2.0
         if not applied:
             break
-        if cost_floor_rel > 0.0 and abs(cost) < cost_floor_rel * cost0:
-            # the moment-form cost is approaching its absolute noise floor
-            # (~1e-7 * ||P||): stop the accelerated phase and hand over to
-            # the caller's exact finisher
+        if floor > 0.0 and abs(cost) < floor:
+            # the moment-form cost is approaching its noise floor
+            # (~1e-7 * ||P|| absolute): stop the accelerated phase and hand
+            # over to the caller's exact finisher
             break
         if x is not None and np.linalg.norm(x) < convergence_threshold:
             break
     return q, t, cost
+
+
+def _tri_sub_for_chunk(chunk: int) -> int:
+    """Largest valid sub-tile for ``icp_moment_pallas_tri_sub``: the kernel
+    requires ``sub % 128 == 0`` and ``chunk % (3 * sub) == 0``; prefer the
+    VMEM-sized 8192 when it divides, else the largest 128-multiple divisor
+    of ``chunk // 3`` (advisor round-4: the old ``chunk // 3`` fallback
+    produced invalid subs for any chunk not divisible by 384)."""
+    if chunk % 384 != 0:
+        raise ValueError(
+            "moment chunk must be a multiple of 384 (three 128-lane "
+            f"sub-tiles per contraction); got {chunk}")
+    m = chunk // 384  # chunk // 3 == 128 * m
+    for d in range(min(m, 64), 0, -1):  # 128 * 64 == 8192 VMEM tile cap
+        if m % d == 0:
+            return 128 * d
+    return 128
 
 
 def pack_group_data(groups, chunk: int = 16384, rows: int = 16):
@@ -474,7 +499,7 @@ def compute_group_moments_from_packed(data_dev, chunk_gid, n_groups: int,
         moment_tri_extract,
     )
 
-    sub = 8192 if chunk % (3 * 8192) == 0 else chunk // 3
+    sub = _tri_sub_for_chunk(chunk)
     parts = np.asarray(
         icp_moment_pallas_tri_sub(data_dev, chunk=chunk, sub=sub),
         np.float64)
@@ -509,7 +534,7 @@ def compute_group_moments(groups, chunk: int = 49152,
         moment_tri_extract,
     )
 
-    sub = 8192 if chunk % (3 * 8192) == 0 else chunk // 3
+    sub = _tri_sub_for_chunk(chunk)
     data, chunk_gid = pack_group_data(groups, chunk)
     parts = np.asarray(
         icp_moment_pallas_tri_sub(jnp.asarray(data), chunk=chunk, sub=sub),

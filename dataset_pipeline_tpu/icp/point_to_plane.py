@@ -506,9 +506,18 @@ class PointToPlaneICP:
                 # approaches its absolute noise floor — the cost_floor_rel
                 # stop hands over to the exact direct finisher below well
                 # before that point
+                # absolute noise floor of the moment-form cost:
+                # ~1e-7 * ||P||_F per group (f32 Gram accumulation); with a
+                # 10x safety factor. Phases that START below it are skipped
+                # entirely (late outer iterations near convergence) —
+                # advisor round-4: the relative floor alone never triggers
+                # there and the ladder would run on noise.
+                floor_abs = 10.0 * 1e-7 * max(
+                    float(np.linalg.norm(np.asarray(Pg))) for Pg in P)
                 qm, tm, _ = icp_lm_from_moments(
                     P, pairs, C, max_iterations, convergence_threshold,
-                    center=center, basis=basis, cost_floor_rel=1e-4)
+                    center=center, basis=basis, cost_floor_rel=1e-4,
+                    cost_floor_abs=floor_abs)
                 q = jnp.asarray(np.asarray(qm, np.float32))
                 t = jnp.asarray(np.asarray(tm, np.float32))
 

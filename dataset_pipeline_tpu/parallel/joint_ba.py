@@ -106,6 +106,11 @@ class JointBAPack:
     occlusion_radius: float
     occlusion_depth_threshold: float
     n_icp: int
+    # original per-row ICP weights (never mutated): correspondence refresh
+    # derives its candidate set from these, so rows zeroed by a transient
+    # pose excursion can re-match later (the reference re-finds ALL
+    # correspondences every outer iteration, icp_point_to_plane.cc:208-309)
+    icp_w0_np: Optional[np.ndarray] = None
 
     @property
     def n_keep(self) -> int:
@@ -287,6 +292,7 @@ def pack_scenes(mesh: Mesh, scenes, optimize_intrinsics: bool = True,
         icp_src_s=shard(padm(cat["src"])), icp_tgt_s=shard(padm(cat["tgt"])),
         scan_col_np=scan_col, occlusion_radius=occlusion_radius,
         occlusion_depth_threshold=occlusion_depth_threshold, n_icp=M,
+        icp_w0_np=padm(cat["w"]),
     )
 
 
@@ -722,12 +728,16 @@ def refresh_icp_correspondences(pack: JointBAPack, state, clouds: dict,
     scene = np.asarray(pack.icp_scene)
     src_s = np.asarray(pack.icp_src_s)
     tgt_s = np.asarray(pack.icp_tgt_s)
-    w0 = np.asarray(pack.icp_w)
+    # candidate rows come from the ORIGINAL (frozen) weights, not the
+    # current ones: a row whose match was lost at some iteration must be
+    # allowed to re-match once the poses recover (advisor round-4 finding)
+    w0 = (pack.icp_w0_np if pack.icp_w0_np is not None
+          else np.asarray(pack.icp_w))
     corr_q = np.asarray(state["corr_q"], np.float64)
     corr_t = np.asarray(state["corr_t"], np.float64)
     pt_new = np.asarray(pack.icp_pt).copy()
     nt_new = np.asarray(pack.icp_nt).copy()
-    w_new = w0.copy()
+    w_new = np.asarray(pack.icp_w).copy()
 
     def corrected(si, s, pts):
         R = quat_to_matrix_np(corr_q[si, s])
@@ -803,8 +813,11 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
     vis, obs_scale = system.visibility(state)
     cost, count = system.cost(state, vis, obs_scale)
     cost = float(cost)
-    rows = (int(count) * int(pack.scene_neighbors.shape[-1])
-            + 2 * pack.n_icp)
+
+    def row_count(cnt):
+        return int(cnt) * int(pack.scene_neighbors.shape[-1]) + 2 * pack.n_icp
+
+    rows = row_count(count)
     costs = [cost]
     best_cost, best_state = cost, state
     since_optimum = 0
@@ -819,7 +832,9 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
         if it > 0 and refresh_visibility_every and (
                 it % refresh_visibility_every == 0):
             vis, obs_scale = system.visibility(state)
-            cost = float(system.cost(state, vis, obs_scale)[0])
+            c, cnt = system.cost(state, vis, obs_scale)
+            cost = float(c)
+            rows = row_count(cnt)
         applied = False
         for try_i in range(10):
             x_keep, x_img, _, _ = system.step(state, vis, obs_scale, lam)
