@@ -7,6 +7,9 @@ from dataset_pipeline_tpu.editor.ops import (  # noqa: F401
     apply_up_direction,
     move_points,
     delete_points,
+    select_mesh_vertices,
+    move_mesh_vertices,
+    delete_mesh_vertices,
 )
 from dataset_pipeline_tpu.editor.labels import (  # noqa: F401
     LabelDefinition,

@@ -95,6 +95,78 @@ def delete_points(points: np.ndarray, mask: np.ndarray,
     return out[0] if not extras else out
 
 
+def select_mesh_vertices(vertices: np.ndarray, faces: np.ndarray,
+                         camera: cm.Camera, image_T_global: np.ndarray,
+                         polygon_px: np.ndarray, occlusion_test: bool = True,
+                         depth_slack: float = 0.01) -> np.ndarray:
+    """Lasso-select MESH vertices in a camera view.
+
+    Counterpart of the editor's vertex selection (``README.md:969-974``):
+    with ``occlusion_test`` (the reference's behavior), vertices occluded by
+    other parts of the SAME mesh are excluded — the mesh's own rasterized
+    depth is the z-test reference.
+    """
+    mask = select_lasso(vertices, camera, image_T_global, polygon_px)
+    if not occlusion_test or not len(faces):
+        return mask
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.models.lie import SE3
+    from dataset_pipeline_tpu.ops.mesh_raster import (
+        build_occlusion_mesh,
+        render_occlusion_mesh_depth,
+    )
+
+    from dataset_pipeline_tpu.models.lie import quat_from_matrix
+
+    R, t = image_T_global[:3, :3], image_T_global[:3, 3]
+    pose = SE3(quat_from_matrix(jnp.asarray(R, jnp.float32)),
+               jnp.asarray(t, jnp.float32))
+    mesh = build_occlusion_mesh(vertices, faces)
+    depth = np.asarray(render_occlusion_mesh_depth(
+        camera, pose, mesh, edge_splats=False))
+    p_cam = vertices @ R.T + t
+    pix, _ = cm.project(camera, jnp.asarray(p_cam, jnp.float32))
+    pix = np.asarray(pix)
+    ix = np.clip(np.round(pix[:, 0]).astype(int), 0, camera.width - 1)
+    iy = np.clip(np.round(pix[:, 1]).astype(int), 0, camera.height - 1)
+    d = depth[iy, ix]
+    visible = (d > 0) & (p_cam[:, 2] <= d + depth_slack)
+    return mask & visible
+
+
+def move_mesh_vertices(vertices: np.ndarray, mask: np.ndarray,
+                       translation) -> np.ndarray:
+    """Translate the selected mesh vertices (the editor's G-key move,
+    ``README.md:976-978``); faces are untouched."""
+    out = np.array(vertices, copy=True)
+    out[np.asarray(mask, bool)] += np.asarray(translation, out.dtype)
+    return out
+
+
+def delete_mesh_vertices(vertices: np.ndarray, faces: np.ndarray,
+                         mask: np.ndarray, *extras: np.ndarray):
+    """Delete the selected mesh vertices AND all faces adjacent to them
+    (the editor's Del key on a mesh, ``README.md:974-976``), compacting the
+    vertex array and remapping face indices.
+
+    ``extras`` are parallel per-vertex arrays (colors, normals) filtered the
+    same way. Returns (vertices, faces, *extras).
+    """
+    mask = np.asarray(mask, bool)
+    keep = ~mask
+    faces = np.asarray(faces)
+    remap = np.full(len(vertices), -1, np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+    if len(faces):
+        face_keep = keep[faces].all(1)
+        new_f = remap[faces[face_keep]].astype(np.int32)
+    else:
+        new_f = np.zeros((0, 3), np.int32)
+    out = (vertices[keep], new_f) + tuple(np.asarray(e)[keep] for e in extras)
+    return out
+
+
 def _clip_polys_by_plane(polys, axis, value, keep_greater):
     """Sutherland–Hodgman: clip convex polygons by an axis-aligned plane.
 
