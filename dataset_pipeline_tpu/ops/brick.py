@@ -133,22 +133,34 @@ def _bilin_from_taps(tl, tr, bl, br, fx, fy, f):
 
 
 def _extract_kernel(rows_ref, lane_ref, fx_ref, fy_ref, f_ref, out_ref):
-    """(CH, 128) gathered rows -> (CH, 8) [value, dx, dy, 0...]: ONE
-    hardware lane-gather fetches all four taps via per-column offsets."""
-    rows = rows_ref[:]
-    lane = lane_ref[:]  # (CH, 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    offs = ((iota == 1) * 1 + (iota == 2) * _BX + (iota == 3) * (_BX + 1))
-    taps = jnp.take_along_axis(rows, lane + offs, axis=1)  # cols 0..3
-    tl = taps[:, 0:1]
-    tr = taps[:, 1:2]
-    bl = taps[:, 2:3]
-    br = taps[:, 3:4]
-    value, dx, dy = _bilin_from_taps(tl, tr, bl, br, fx_ref[:], fy_ref[:],
-                                     f_ref[:])
-    zero = jnp.zeros_like(value)
-    out_ref[:] = jnp.concatenate(
-        [value, dx, dy, zero, zero, zero, zero, zero], axis=1)
+    """(CH, 128) gathered rows -> (3, CH/128, 128) [value, dx, dy].
+
+    Mosaic-legal lane extraction: per 128-observation sub-block, transpose
+    (128, 128) so observations lie on LANES, then pick each tap with a
+    one-hot SUBLANE reduction (~1.5k VPU ops/obs). Scalars travel as DENSE
+    (n/128, 128) planes with (8, 128) blocks — (N, 1) columns tile-pad
+    128x in HBM, (1, CH) blocks violate the (8, 128) block rule under
+    vmap, and (8,128)->(1024,1) shape casts don't lower; this layout
+    avoids all three."""
+    mc = lane_ref.shape[0]
+    for sb in range(mc):
+        rt = rows_ref[sb * 128:(sb + 1) * 128, :].T  # (128, 128)
+        lane = lane_ref[sb:sb + 1, :]  # (1, 128)
+        fx = fx_ref[sb:sb + 1, :]
+        fy = fy_ref[sb:sb + 1, :]
+        f = f_ref[sb:sb + 1, :]
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, rt.shape, 0)
+
+        def tap(off):
+            oh = (s_iota == lane + off).astype(jnp.float32)
+            return jnp.sum(rt * oh, axis=0, keepdims=True)  # (1, 128)
+
+        tl = tap(0)
+        tr = tap(1)
+        bl = tap(_BX)
+        br = tap(_BX + 1)
+        value, dx, dy = _bilin_from_taps(tl, tr, bl, br, fx, fy, f)
+        out_ref[:, sb, :] = jnp.concatenate([value, dx, dy], axis=0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -162,17 +174,32 @@ def _extract_pallas(rows, lane, fx, fy, f, interpret: bool = False):
         fy = jnp.pad(fy, (0, pad))
         f = jnp.pad(f, (0, pad))
     npad = n + pad
-    bs = lambda w: pl.BlockSpec((_CH, w), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
+    m = npad // 128
+    mc = _CH // 128
+    sc = lambda a, dt: a.reshape(m, 128).astype(dt)
     o = pl.pallas_call(
         _extract_kernel,
         grid=(npad // _CH,),
-        in_specs=[bs(128), bs(1), bs(1), bs(1), bs(1)],
-        out_specs=bs(8),
-        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((_CH, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, mc, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, m, 128), jnp.float32),
         interpret=interpret,
-    )(rows, lane[:, None], fx[:, None], fy[:, None], f[:, None])
-    return o[:n, 0], o[:n, 1], o[:n, 2]
+    )(rows, sc(lane, jnp.int32), sc(fx, jnp.float32), sc(fy, jnp.float32),
+      sc(f, jnp.float32))
+    return (o[0].reshape(npad)[:n], o[1].reshape(npad)[:n],
+            o[2].reshape(npad)[:n])
 
 
 def _extract_xla(rows, lane, fx, fy, f):
@@ -187,14 +214,34 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_GCHUNK = 262_144  # obs per gather+extract block: bounds the transient
+# (chunk, 128) gathered-rows tensor to 128 MB (at DSLR scale the
+# unchunked (1.6M, 128) rows OOM'd HBM under an 8-image vmap)
+
+
 def _bilinear_brick(brick: BrickPyramid, level, pix0, extract=None):
     """Brick twin of ``_bilinear_flat``: (value, dx, dy, valid)."""
     row, lane, fx, fy, f, valid = _brick_address(brick.meta, level, pix0)
-    rows = brick.table[row]  # ONE row gather per (point, level)
     if extract is None:
         extract = _extract_pallas if _use_pallas() else _extract_xla
-    value, dx, dy = extract(rows, lane, fx, fy, f)
-    return value, dx, dy, valid
+    n = row.shape[0]
+    if n <= _GCHUNK:
+        rows = brick.table[row]  # ONE row gather per (point, level)
+        value, dx, dy = extract(rows, lane, fx, fy, f)
+        return value, dx, dy, valid
+    pad = (-n) % _GCHUNK
+
+    def pd(a):
+        return jnp.pad(a, (0, pad)).reshape(-1, _GCHUNK)
+
+    def body(args):
+        r_, l_, fx_, fy_, f_ = args
+        rows = brick.table[r_]
+        return extract(rows, l_, fx_, fy_, f_)
+
+    v, dx, dy = jax.lax.map(body, (pd(row), pd(lane), pd(fx), pd(fy), pd(f)))
+    return (v.reshape(-1)[:n], dx.reshape(-1)[:n], dy.reshape(-1)[:n],
+            valid)
 
 
 def brick_sample_with_derivs(brick: BrickPyramid, L: int, pix0, obs_scale,

@@ -85,7 +85,7 @@ def _sharded_hb_jit(mesh: Mesh, row_fn: Callable, axis: str, in_specs):
         return jax.lax.psum(H, axis), jax.lax.psum(b, axis), jax.lax.psum(cost, axis)
 
     return jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P(), P())))
+        local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P(), P()), check_vma=False))
 
 
 def make_sharded_hb(mesh: Mesh, row_fn: Callable, n_vars: int, axis: str = "data"):
@@ -199,8 +199,13 @@ class JointScene:
     correspondences between its scans."""
 
     def __init__(self, problem, level_idx: int = 0, icp=None,
-                 icp_weight: float = 1.0):
-        assert len(problem.groups) == 1, "joint BA rows: single-group scenes"
+                 icp_weight: float = 1.0, allow_rig: bool = False):
+        # the dense row builder and joint_ba.pack_scenes take single-group
+        # scenes; multi-group (rig) problems go through
+        # parallel/joint_ba_rig.pack_rig_scenes, which accepts them here
+        assert len(problem.groups) == 1 or any(
+            g.rig_cam_index > 0 for g in problem.groups), \
+            "joint BA rows: single-group or rig scenes"
         self.problem = problem
         self.level_idx = level_idx
         self.icp = icp  # (ps, ns, pt, nt, src_scan, tgt_scan) or None

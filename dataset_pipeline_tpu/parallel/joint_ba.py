@@ -628,17 +628,17 @@ class JointBASystem:
         st = (rep, rep, rep, spec_i, spec_i)
         self._vis_jit = jax.jit(jax.shard_map(
             vis_fn, mesh=mesh, in_specs=st + (spec_i, spec_i) + pyr_specs,
-            out_specs=(spec_i, spec_i)))
+            out_specs=(spec_i, spec_i), check_vma=False))
         self._step_jit = jax.jit(jax.shard_map(
             step_fn, mesh=mesh,
             in_specs=st + (rep, spec_i, spec_i, spec_i, spec_i)
             + pyr_specs + icp_specs,
-            out_specs=(rep, spec_i, rep, rep)))
+            out_specs=(rep, spec_i, rep, rep), check_vma=False))
         self._cost_jit = jax.jit(jax.shard_map(
             cost_fn, mesh=mesh,
             in_specs=st + (spec_i, spec_i, spec_i, spec_i)
             + pyr_specs + icp_specs,
-            out_specs=(rep, rep)))
+            out_specs=(rep, rep), check_vma=False))
 
     def _state_args(self, state):
         return (state["params"], state["corr_q"], state["corr_t"],
@@ -792,7 +792,7 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
                  iterations_without_optimum: int = 15,
                  system: Optional[JointBASystem] = None,
                  state: Optional[dict] = None,
-                 on_iteration=None) -> JointBAResult:
+                 on_iteration=None, apply_fn=None) -> JointBAResult:
     """LM accept/reject driver over the sharded joint system.
 
     Per outer iteration: refresh visibility (one dispatch), then up to 10
@@ -809,6 +809,8 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
         system = JointBASystem(pack, current_scale)
     if state is None:
         state = make_state(pack)
+    if apply_fn is None:
+        apply_fn = apply_delta
     lam = lam0
     vis, obs_scale = system.visibility(state)
     cost, count = system.cost(state, vis, obs_scale)
@@ -838,7 +840,7 @@ def run_joint_ba(pack: JointBAPack, max_iterations: int = 10,
         applied = False
         for try_i in range(10):
             x_keep, x_img, _, _ = system.step(state, vis, obs_scale, lam)
-            cand = apply_delta(pack, state, x_keep, x_img)
+            cand = apply_fn(pack, state, x_keep, x_img)
             new_cost = float(system.cost(cand, vis, obs_scale)[0])
             if new_cost < cost or try_i == 9:
                 state = cand

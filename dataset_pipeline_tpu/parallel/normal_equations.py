@@ -70,7 +70,7 @@ def sharded_icp_hb(mesh: Mesh, q, t, ps, ns, pt, nt, src_id, tgt_id, w,
         mesh=mesh,
         in_specs=(rep, rep, sharded, sharded, sharded, sharded, sharded, sharded, sharded),
         out_specs=(rep, rep, rep),
-    )
+    check_vma=False)
     return fn(q, t, ps, ns, pt, nt, src_id, tgt_id, w)
 
 
@@ -97,5 +97,5 @@ def sharded_moment_gram(mesh: Mesh, ps, ns, pt, nt, w, axis=None):
 
     sh = P(axis)
     fn = jax.shard_map(local, mesh=mesh, in_specs=(sh, sh, sh, sh, sh),
-                       out_specs=P())
+                       out_specs=P(), check_vma=False)
     return fn(ps, ns, pt, nt, w)

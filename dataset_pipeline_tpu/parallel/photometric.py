@@ -83,7 +83,7 @@ def make_sharded_hb_batch(mesh: Mesh, axis: str = "data"):
                       _pyr_specs(image_pyr, axis), P(axis, None),
                       P(axis, None), P()),
             out_specs=(P(axis), P(axis), P(), P()),
-        )
+        check_vma=False)
         return sharded(params, pose_q, pose_t, points, neighbors, desc,
                        image_pyr, obs_scale, contrib, radius)
 
@@ -122,7 +122,7 @@ def make_sharded_hb_rig_batch(mesh: Mesh, axis: str = "data"):
                       _pyr_specs(image_pyr, axis), P(axis, None),
                       P(axis, None), P()),
             out_specs=(P(axis), P(axis), P(), P()),
-        )
+        check_vma=False)
         return sharded(params, extr_q, extr_t, ref_q, ref_t, points,
                        neighbors, desc, image_pyr, obs_scale, contrib, radius)
 
@@ -156,7 +156,7 @@ def make_sharded_hb_depth_batch(mesh: Mesh, axis: str = "data"):
                       _pyr_specs(depth_pyr, axis), P(axis, None),
                       P(axis, None)),
             out_specs=(P(axis), P(axis), P(), P()),
-        )
+        check_vma=False)
         return sharded(params, pose_q, pose_t, points, depth_pyr, obs_scale,
                        contrib)
 

@@ -262,16 +262,6 @@ def _sample_pyramid(image_pyr: List, pix0, obs_scale):
 
 
 
-def _nbr_inten_ok(inten, ok, neighbors):
-    """Neighbor (intensity (N,K), validity (N,K)) via ONE packed row gather
-    (each XLA gather costs ~6.7 ns per gathered item regardless of row
-    width — experiments/gather_probe2.py; separate inten/ok gathers would
-    double the bill)."""
-    S = jnp.concatenate([inten[:, None],
-                         ok.astype(inten.dtype)[:, None]], -1)[neighbors]
-    return S[..., 0], S[..., 1] > 0.5
-
-
 def _point_intensities(camera, params, pose_q, pose_t, points, image_pyr, obs_scale):
     """Intensity of every point under the given state (vectorized)."""
     pose = SE3(pose_q, pose_t)
@@ -286,12 +276,12 @@ def _residual_data(camera, params, pose_q, pose_t, level: PhotoLevel, image_pyr,
     """Per-point residual vectors r (N,K) and the scalar robust cost terms."""
     inten, ok = _point_intensities(camera, params, pose_q, pose_t, level.points,
                                    image_pyr, obs_scale)
-    nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, level.neighbors)
+    nbr_inten = inten[level.neighbors]  # (N,K)
     r = (nbr_inten - inten[:, None]) - level.fixed_descriptors
     norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
     rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
     w = huber_weight(norm, DEFAULT_COLOR_HUBER)
-    all_ok = ok & jnp.all(nbr_ok, -1) & contrib_mask
+    all_ok = ok & jnp.all(ok[level.neighbors], -1) & contrib_mask
     return r, w, rho, all_ok
 
 
@@ -328,9 +318,8 @@ def _image_descriptors_one(camera: cm.Camera, params, pose_q, pose_t, level_poin
     observed points. Returns (desc_sum (N,K), observed (N,))."""
     inten, ok = _point_intensities(camera, params, pose_q, pose_t, level_points,
                                    image_pyr, obs_scale)
-    nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, level_neighbors)
-    all_ok = ok & jnp.all(nbr_ok, -1) & contrib_mask
-    desc = nbr_inten - inten[:, None]
+    all_ok = ok & jnp.all(ok[level_neighbors], -1) & contrib_mask
+    desc = inten[level_neighbors] - inten[:, None]
     return jnp.where(all_ok[:, None], desc, 0.0), all_ok
 
 
@@ -369,36 +358,35 @@ def _intensity_ok(camera, prm, pose, points, image_pyr, obs_scale, radius,
     return val, valid & ok
 
 
-def _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask,
-                   chunk: int = 131072):
+def _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask):
     """Assemble H,b,cost,count from the PER-POINT intensity Jacobian J (N,V).
 
     The descriptor-residual rows are r_{nk} = I[nbr_nk] - I[n] - d_{nk} with
     Jacobian J[nbr_nk] - J[n] (``AccumulateOnHAndB``, ``.cc:1219-1296``).
     Instead of materializing the (N,K,V) row tensor, expand the Gram sum:
 
+      H = J^T diag(c + K*w) J - (S^T A + A^T S)
+      b = J^T (gamma - w .* sum_k r_k)
+
+    expanded per neighbor slot k with A_k = J[nbr_:,k] (K static gathers):
+
       H = sum_k [A_k^T W A_k - A_k^T W J - (A_k^T W J)^T] + K J^T W J
       b = sum_k A_k^T (w r_k)  -  J^T (w sum_k r_k)
 
-    with A_k = J[nbr_:,k] — gathers + (V,N)x(N,V) MXU products at HIGHEST
-    precision only, NO scatters (TPU scatter-adds with colliding indices
-    serialize; this formulation trades them for K tiny matmuls).
-
-    Gather plan: every XLA gather costs ~6.7 ns PER GATHERED ITEM
-    regardless of row width (experiments/gather_probe2.py), so each
-    neighbor's [J row | intensity | validity] is fetched by ONE fat row
-    gather — 5 gather-units/point instead of the 15 of separate
-    inten/ok/per-k-J gathers. The point axis is scanned in ``chunk``
-    blocks so the (chunk, K, V+2) gathered tensor stays ~50 MB.
+    — gathers + (V,N)x(N,V) MXU products at HIGHEST precision only, NO
+    scatters (TPU scatter-adds with colliding indices serialize; this
+    formulation trades them for K tiny matmuls).
     """
-    K = neighbors.shape[1]
-    V = J.shape[1]
-    N = J.shape[0]
+    all_ok = ok & jnp.all(ok[neighbors], -1) & contrib_mask
+    r = (inten[neighbors] - inten[:, None]) - desc
+    r = jnp.where(all_ok[:, None], r, 0.0)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
+    rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
+    w = jnp.where(all_ok, huber_weight(norm, DEFAULT_COLOR_HUBER), 0.0)
     # zero invalid points' J rows: they carry no weight anywhere, but may
     # hold non-finite values that would poison the matmuls
     J = jnp.where(ok[:, None], J, 0.0)
-    packed = jnp.concatenate(
-        [J, inten[:, None], ok.astype(J.dtype)[:, None]], -1)  # (N, V+2)
+    K = neighbors.shape[1]
 
     def gram(x, y):
         return jax.lax.dot_general(
@@ -407,51 +395,17 @@ def _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask,
             preferred_element_type=jnp.float32,
         )
 
-    def block(args):
-        nbr_c, desc_c, contrib_c, inten_c, ok_c, J_c = args
-        G = packed[nbr_c]  # (ch, K, V+2): the ONLY neighbor gather
-        nbr_inten = G[..., V]
-        nbr_ok = G[..., V + 1] > 0.5
-        all_ok = ok_c & jnp.all(nbr_ok, -1) & contrib_c
-        r = (nbr_inten - inten_c[:, None]) - desc_c
-        r = jnp.where(all_ok[:, None], r, 0.0)
-        norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
-        rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
-        w = jnp.where(all_ok, huber_weight(norm, DEFAULT_COLOR_HUBER), 0.0)
-        H = K * gram(w[:, None] * J_c, J_c)
-        b = -gram(J_c, (w * jnp.sum(r, -1))[:, None])[:, 0]
-        for k in range(K):
-            Ak = G[:, k, :V]
-            WAk = w[:, None] * Ak
-            M = gram(WAk, J_c)
-            H = H + gram(WAk, Ak) - M - M.T
-            b = b + gram(Ak, (w * r[:, k])[:, None])[:, 0]
-        cost = jnp.sum(jnp.where(all_ok, rho, 0.0))
-        count = jnp.sum(all_ok)
-        return H, b, cost, count
-
-    if N <= chunk:
-        return block((neighbors, desc, contrib_mask, inten, ok, J))
-
-    pad = (-N) % chunk
-    nc = (N + pad) // chunk
-
-    def padded(a, fill=0):
-        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
-        return jnp.pad(a, widths, constant_values=fill).reshape(
-            (nc, chunk) + a.shape[1:])
-
-    xs = (padded(neighbors), padded(desc), padded(contrib_mask, False),
-          padded(inten), padded(ok, False), padded(J))
-
-    def step(carry, args):
-        H, b, cost, count = carry
-        Hc, bc, cc, nn = block(args)
-        return (H + Hc, b + bc, cost + cc, count + nn), None
-
-    init = (jnp.zeros((V, V), jnp.float32), jnp.zeros((V,), jnp.float32),
-            jnp.float32(0.0), jnp.int32(0))
-    (H, b, cost, count), _ = jax.lax.scan(step, init, xs)
+    A = w[:, None] * J  # W J
+    H = K * gram(A, J)  # K J^T W J
+    b = -gram(J, (w * jnp.sum(r, -1))[:, None])[:, 0]
+    for k in range(K):
+        Ak = J[neighbors[:, k]]
+        WAk = w[:, None] * Ak
+        M = gram(WAk, J)
+        H = H + gram(WAk, Ak) - M - M.T
+        b = b + gram(Ak, (w * r[:, k])[:, None])[:, 0]
+    cost = jnp.sum(jnp.where(all_ok, rho, 0.0))
+    count = jnp.sum(all_ok)
     return H, b, cost, count
 
 
@@ -754,9 +708,8 @@ def _cost_batch(camera: cm.Camera, params, pose_q, pose_t, points, neighbors,
 
     def one(q, t, pts, nbr, d, pyr, s, m):
         inten, ok = _point_intensities(camera, params, q, t, pts, pyr, s)
-        nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, nbr)
-        all_ok = ok & jnp.all(nbr_ok, -1) & m
-        r = (nbr_inten - inten[:, None]) - d
+        all_ok = ok & jnp.all(ok[nbr], -1) & m
+        r = (inten[nbr] - inten[:, None]) - d
         r = jnp.where(all_ok[:, None], r, 0.0)
         norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
         rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
@@ -780,9 +733,8 @@ def _imgdesc_batch(camera: cm.Camera, params, pose_q, pose_t, points,
 
     def one(q, t, pts, nbr, pyr, s, m):
         inten, ok = _point_intensities(camera, params, q, t, pts, pyr, s)
-        nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, nbr)
-        all_ok = ok & jnp.all(nbr_ok, -1) & m
-        d = nbr_inten - inten[:, None]
+        all_ok = ok & jnp.all(ok[nbr], -1) & m
+        d = inten[nbr] - inten[:, None]
         return jnp.where(all_ok[:, None], d, 0.0), all_ok
 
     fn = jax.vmap(one, in_axes=(0, 0, ga, ga, 0, 0, 0))

@@ -183,3 +183,62 @@ def rig_extrinsics_se3(rig: RigInfo) -> SE3:
     """Stacked SE3 (ncams,) of image_T_rig."""
     mats = np.stack(rig.image_T_rig).astype(np.float32)
     return SE3.from_matrix(jnp.asarray(mats))
+
+
+def assign_rigs_from_state_dir(state, state_dir: str):
+    """Phase 1 of rig loading: read ``rigs.json`` (if present) and assign
+    rigs — MUTATES the state's poses for per-set consistency, so this must
+    run BEFORE ``load_groups`` copies them. Returns rig_infos ([] without
+    rigs.json)."""
+    import os
+
+    from dataset_pipeline_tpu.io.colmap import read_rigs_json
+
+    rigs_path = os.path.join(state_dir, "rigs.json")
+    if not os.path.exists(rigs_path):
+        return []
+    return assign_rigs(state, read_rigs_json(rigs_path))
+
+
+def mark_rig_groups(state, groups, rig_infos):
+    """Phase 2: derive extrinsics and mark dependent image groups
+    (rig_id/rig_cam_index/ref_group/ref_slots) on the already-loaded
+    groups. Returns the rig extrinsics list."""
+    import numpy as np
+
+    rig_extrinsics = []
+    cam_to_group = {}
+    for gi, g in enumerate(groups):
+        for im in state.images:
+            if im.image_id in g.image_ids:
+                cam_to_group[im.camera_id] = gi
+                break
+    for rig in rig_infos:
+        rig_extrinsics.append(rig_extrinsics_se3(rig))
+        ref_gi = cam_to_group.get(rig.camera_ids[0], -1)
+        if ref_gi < 0:
+            continue
+        ref_ids = groups[ref_gi].image_ids
+        set_of_image = {}
+        for s_ in rig.sets:
+            for c, iid in enumerate(s_.image_ids):
+                set_of_image[iid] = s_
+        for c in range(1, len(rig.camera_ids)):
+            gi = cam_to_group.get(rig.camera_ids[c], -1)
+            if gi < 0:
+                continue
+            g = groups[gi]
+            slots = []
+            ok = True
+            for iid in g.image_ids:
+                s_ = set_of_image.get(iid)
+                if s_ is None or s_.image_ids[0] not in ref_ids:
+                    ok = False
+                    break
+                slots.append(ref_ids.index(s_.image_ids[0]))
+            if ok:
+                g.rig_id = rig.rig_id
+                g.rig_cam_index = c
+                g.ref_group = ref_gi
+                g.ref_slots = np.asarray(slots, np.int32)
+    return rig_extrinsics

@@ -85,6 +85,19 @@ def _decode_depth(q: np.ndarray) -> np.ndarray:
                     ).astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _render_all_faces_packed(pos, cols, size: int):
+    """One packed u8 wire buffer (6, S, S, 5): [r, g, b, depth_hi,
+    depth_lo] — exact u8 color + u16 log-depth in a SINGLE fetch (one
+    relay round trip instead of two; 5 B/px is the exact-color floor)."""
+    q, colors = _render_all_faces_q(pos, cols, size)
+    return jnp.concatenate([
+        colors,
+        (q >> 8).astype(jnp.uint8)[..., None],
+        (q & 0xFF).astype(jnp.uint8)[..., None],
+    ], axis=-1)
+
+
 def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int,
                     pipelined: bool = None):
     """Returns dict face_name -> (depth (S,S) f32, color (S,S,3) u8).
@@ -100,9 +113,9 @@ def render_cube_map(positions: np.ndarray, colors: np.ndarray, size: int,
     if pipelined is None:
         pipelined = jax.default_backend() not in ("cpu",)
     if pipelined:
-        q, c = _render_all_faces_q(pos, cols, size)
-        q = np.asarray(q)
-        c = np.asarray(c)
+        packed = np.asarray(_render_all_faces_packed(pos, cols, size))
+        q = (packed[..., 3].astype(np.uint16) << 8) | packed[..., 4]
+        c = packed[..., :3]
         return {name: (_decode_depth(q[i]), c[i])
                 for i, name in enumerate(CUBE_FACE_NAMES)}
     depths, colors_out = _render_all_faces(pos, cols, size)

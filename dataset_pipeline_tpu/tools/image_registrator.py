@@ -225,62 +225,25 @@ def main(argv=None) -> int:
         scans = load_scan_set(args.scan_alignment_path)
     state = load_colmap_state(args.state_path, scans.scale_factor, ignore)
 
-    # rigs: make poses consistent, derive extrinsics, mark dependent cameras
-    rig_infos = []
-    rig_configs = []
+    # rigs: make poses consistent, derive extrinsics, mark dependent
+    # cameras (shared two-phase loader, photometric/rig.py)
+    from dataset_pipeline_tpu.photometric.rig import assign_rigs, mark_rig_groups
+
     rigs_path = os.path.join(args.state_path, "rigs.json")
+    rig_configs = []
     if os.path.exists(rigs_path):
         from dataset_pipeline_tpu.io.colmap import read_rigs_json
-        from dataset_pipeline_tpu.photometric.rig import assign_rigs
 
         rig_configs = read_rigs_json(rigs_path)
-        rig_infos = assign_rigs(state, rig_configs)
+    rig_infos = assign_rigs(state, rig_configs) if rig_configs else []
+    if rig_infos:
         print(f"{len(rig_infos)} rig(s) assigned")
 
     groups, global_count = load_groups(state, args.image_base_path)
 
-    rig_extrinsics = []
-    if rig_infos:
-        from dataset_pipeline_tpu.photometric.rig import rig_extrinsics_se3
+    rig_extrinsics = mark_rig_groups(state, groups, rig_infos) \
+        if rig_infos else []
 
-        cam_to_group = {}
-        for gi, g in enumerate(groups):
-            for im in state.images:
-                if im.image_id in g.image_ids:
-                    cam_to_group[im.camera_id] = gi
-                    break
-        for rig in rig_infos:
-            rig_extrinsics.append(rig_extrinsics_se3(rig))
-            ref_gi = cam_to_group.get(rig.camera_ids[0], -1)
-            if ref_gi < 0:
-                continue
-            ref_ids = groups[ref_gi].image_ids
-            # ref slot per set: index of the set's reference image
-            set_of_image = {}
-            for s in rig.sets:
-                for c, iid in enumerate(s.image_ids):
-                    set_of_image[iid] = s
-            for c in range(1, len(rig.camera_ids)):
-                gi = cam_to_group.get(rig.camera_ids[c], -1)
-                if gi < 0:
-                    continue
-                g = groups[gi]
-                slots = []
-                ok = True
-                for iid in g.image_ids:
-                    s = set_of_image.get(iid)
-                    if s is None or s.image_ids[0] not in ref_ids:
-                        ok = False
-                        break
-                    slots.append(ref_ids.index(s.image_ids[0]))
-                if ok:
-                    g.rig_id = rig.rig_id
-                    g.rig_cam_index = c
-                    g.ref_group = ref_gi
-                    g.ref_slots = np.asarray(slots, np.int32)
-                else:
-                    print(f"warning: camera {rig.camera_ids[c]} left rig-independent "
-                          "(incomplete sets)")
     print(f"{len(groups)} camera groups, {sum(g.num_images for g in groups)} images, "
           f"{global_count} image scales")
 

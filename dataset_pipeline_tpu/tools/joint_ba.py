@@ -44,12 +44,26 @@ def build_scene(mlp_path: str, state_dir: str, image_base: str, params,
     )
     from dataset_pipeline_tpu.tools.image_registrator import load_groups
 
+    from dataset_pipeline_tpu.photometric.rig import (
+        assign_rigs_from_state_dir,
+        mark_rig_groups,
+    )
+
     scans = load_scan_set(mlp_path)
     state = load_colmap_state(state_dir, scans.scale_factor)
+    rig_infos = assign_rigs_from_state_dir(state, state_dir)
     groups, global_count = load_groups(state, image_base)
+    rig_extr = []
     if len(groups) != 1:
-        raise SystemExit("joint_ba: each scene must have exactly one camera "
-                         f"group ({mlp_path} has {len(groups)})")
+        # rig scenes: rigs.json marks every non-reference group dependent
+        rig_extr = mark_rig_groups(state, groups, rig_infos)
+        dependents = sum(1 for g_ in groups if g_.rig_cam_index > 0)
+        if dependents != len(groups) - 1:
+            raise SystemExit(
+                "joint_ba: multi-group scenes must form one rig via "
+                f"rigs.json ({mlp_path}: {len(groups)} groups, "
+                f"{dependents} rig-dependent)")
+        groups = sorted(groups, key=lambda g_: g_.rig_cam_index)
     g = groups[0]
 
     scan_pts = [scans.global_positions(i) for i in range(len(scans.infos))]
@@ -81,11 +95,12 @@ def build_scene(mlp_path: str, state_dir: str, image_base: str, params,
                          "after the gradient filter")
 
     problem = PhotoProblem(
-        groups=[g], levels=levels,
+        groups=groups, levels=levels,
         occlusion_points=jnp.asarray(all_pts.astype(np.float32)),
         occlusion_radius=params.splat_radius,
         scale_count=global_count,
-        occlusion_depth_threshold=params.occlusion_depth_threshold)
+        occlusion_depth_threshold=params.occlusion_depth_threshold,
+        rig_extrinsics=rig_extr)
 
     # cross-scan ICP correspondences in the initial state (nearest neighbor
     # within max_corr_dist, per ordered overlapping pair — the reference's
@@ -203,6 +218,7 @@ def main(argv=None) -> int:
               f"({len(sc.problem.levels)} levels), "
               f"{n_icp} ICP correspondences")
 
+    rig_mode = any(len(sc.problem.groups) > 1 for sc in scenes)
     cam0 = scenes[0].problem.groups[0].camera
     for sc in scenes[1:]:
         c = sc.problem.groups[0].camera
@@ -211,13 +227,25 @@ def main(argv=None) -> int:
             raise SystemExit("joint_ba: scenes must share one camera model/"
                              "size (shared-intrinsics kept block)")
 
-    with GLOBAL_TIMER.stage("pack_scenes"):
-        pack = pack_scenes(mesh, scenes,
-                           optimize_intrinsics=not args.fix_intrinsics,
-                           occlusion_radius=params.splat_radius,
-                           occlusion_depth_threshold=params.occlusion_depth_threshold)
-    print(f"packed: n_keep={pack.n_keep} images={pack.n_images} "
-          f"(pad {pack.m_pad}) icp_rows={2 * pack.n_icp}")
+    if rig_mode:
+        from dataset_pipeline_tpu.parallel.joint_ba_rig import pack_rig_scenes
+
+        with GLOBAL_TIMER.stage("pack_scenes"):
+            pack = pack_rig_scenes(
+                mesh, scenes, optimize_intrinsics=not args.fix_intrinsics,
+                occlusion_radius=params.splat_radius,
+                occlusion_depth_threshold=params.occlusion_depth_threshold)
+        print(f"packed (rig): n_keep={pack.n_keep} cams={pack.n_cams} "
+              f"frames={pack.n_frames} (pad {pack.f_pad}) "
+              f"icp_rows={2 * pack.n_icp}")
+    else:
+        with GLOBAL_TIMER.stage("pack_scenes"):
+            pack = pack_scenes(mesh, scenes,
+                               optimize_intrinsics=not args.fix_intrinsics,
+                               occlusion_radius=params.splat_radius,
+                               occlusion_depth_threshold=params.occlusion_depth_threshold)
+        print(f"packed: n_keep={pack.n_keep} images={pack.n_images} "
+              f"(pad {pack.m_pad}) icp_rows={2 * pack.n_icp}")
 
     from dataset_pipeline_tpu.parallel.joint_ba import refresh_icp_correspondences
 
@@ -257,11 +285,29 @@ def main(argv=None) -> int:
         for scale in range(max(args.start_scale, 0), -1, -1):
             if args.start_scale > 0:
                 print(f"scale {scale}:")
-            res = run_joint_ba(pack, max_iterations=args.max_iterations,
-                               lam0=args.lambda0, current_scale=float(scale),
-                               icp_refresh_fn=icp_refresh, state=state,
-                               on_iteration=lambda it, st, c: write_mlps(st),
-                               print_progress=True)
+            if rig_mode:
+                from dataset_pipeline_tpu.parallel.joint_ba_rig import (
+                    RigJointBASystem,
+                    apply_rig_delta,
+                    make_rig_state,
+                )
+
+                res = run_joint_ba(
+                    pack, max_iterations=args.max_iterations,
+                    lam0=args.lambda0,
+                    system=RigJointBASystem(pack, float(scale)),
+                    state=state or make_rig_state(pack),
+                    apply_fn=apply_rig_delta,
+                    icp_refresh_fn=icp_refresh,
+                    on_iteration=lambda it, st, c: write_mlps(st),
+                    print_progress=True)
+            else:
+                res = run_joint_ba(pack, max_iterations=args.max_iterations,
+                                   lam0=args.lambda0,
+                                   current_scale=float(scale),
+                                   icp_refresh_fn=icp_refresh, state=state,
+                                   on_iteration=lambda it, st, c: write_mlps(st),
+                                   print_progress=True)
             state = res.state
             costs_all += res.costs
         res.costs = costs_all
@@ -276,24 +322,58 @@ def main(argv=None) -> int:
     write_mlps(res.state)
     pose_q = np.asarray(res.state["pose_q"], np.float64)
     pose_t = np.asarray(res.state["pose_t"], np.float64)
-    new_params = np.asarray(res.state["params"], np.float64)
     img_base_idx = 0
     for si, (sc, (scans, state)) in enumerate(zip(scenes, metas)):
         out = os.path.join(args.output_folder_path, f"scene_{si}")
         os.makedirs(out, exist_ok=True)
-        # COLMAP state: updated image poses + shared intrinsics
-        g = sc.problem.groups[0]
-        cam_new = (g.camera if args.fix_intrinsics
-                   else g.camera.with_params(jnp.asarray(new_params,
-                                                         jnp.float32)))
-        id_to_slot = {iid: k for k, iid in enumerate(g.image_ids)}
+        groups_s = sorted(sc.problem.groups, key=lambda g_: g_.rig_cam_index)
+        id_to_pose = {}
+        cam_of_image = {}
+        if rig_mode:
+            eq = np.asarray(res.state["extr_q"], np.float64)
+            et = np.asarray(res.state["extr_t"], np.float64)
+            from dataset_pipeline_tpu.models.lie import quat_to_matrix_np as qm
+
+            for c, g_ in enumerate(groups_s):
+                prm = res.state["params"][c]
+                cam_c = (g_.camera if args.fix_intrinsics
+                         else g_.camera.with_params(prm))
+                for k, iid in enumerate(g_.image_ids):
+                    slot = (img_base_idx + k if c == 0
+                            else img_base_idx + int(g_.ref_slots[k]))
+                    q_, t_ = pose_q[slot], pose_t[slot]
+                    if c > 0:
+                        Re = qm(eq[c])
+                        Rr = qm(q_)
+                        M = np.eye(4)
+                        M[:3, :3] = Re @ Rr
+                        M[:3, 3] = Re @ t_ + et[c]
+                        from dataset_pipeline_tpu.models.lie import SE3 as _S
+
+                        se = _S.from_matrix(jnp.asarray(M[None], jnp.float32))
+                        q_ = np.asarray(se.q, np.float64)[0]
+                        t_ = np.asarray(se.t, np.float64)[0]
+                    id_to_pose[iid] = (q_, t_)
+                    cam_of_image[iid] = cam_c
+        else:
+            new_params = np.asarray(res.state["params"], np.float64)
+            g = groups_s[0]
+            cam_new = (g.camera if args.fix_intrinsics
+                       else g.camera.with_params(jnp.asarray(new_params,
+                                                             jnp.float32)))
+            for k, iid in enumerate(g.image_ids):
+                id_to_pose[iid] = (pose_q[img_base_idx + k],
+                                   pose_t[img_base_idx + k])
+                cam_of_image[iid] = cam_new
         rows = []
+        cams = dict(state.cameras)
         for im in state.images:
-            k = id_to_slot[im.image_id]
-            gi = img_base_idx + k
+            if im.image_id not in id_to_pose:
+                continue
+            q_, t_ = id_to_pose[im.image_id]
             rows.append(ImageState(im.image_id, im.camera_id, im.name,
-                                   pose_q[gi], pose_t[gi]))
-        cams = {cid: cam_new for cid in state.cameras}
+                                   q_, t_))
+            cams[im.camera_id] = cam_of_image[im.image_id]
         save_colmap_state(out, ModelState(cams, rows, state.scale_factor))
         with open(os.path.join(out, "metadata.txt"), "w") as f:
             f.write(f"iterations {res.iterations}\n")
@@ -301,7 +381,9 @@ def main(argv=None) -> int:
             f.write("costs " + " ".join(f"{c:.8g}" for c in res.costs) + "\n")
             for line in params.dump().splitlines():
                 f.write(line + "\n")
-        img_base_idx += sc.num_images
+        img_base_idx += sorted(
+            sc.problem.groups,
+            key=lambda g_: g_.rig_cam_index)[0].num_images
         print(f"scene {si} -> {out}")
     print("stage timing:\n" + GLOBAL_TIMER.summary())
     GLOBAL_TIMER.dump_json(os.path.join(args.output_folder_path, "timing.json"))
