@@ -137,26 +137,46 @@ def _mask_filter_core(camera: cm.Camera, pose_q, pose_t, points,
                       max_valid_intensity):
     """Reject observations whose coarse-interp-scale pixel is masked or
     oversaturated (``visibility_estimator.cc:482-509``). ``mask_pyr`` may be
-    an empty tuple (no masks)."""
+    an empty tuple (no masks).
+
+    Only the point's OWN interpolation level matters, so this is ONE
+    flat-pyramid gather per point (per-level meta via an elementwise
+    select chain) instead of a gather per level — each XLA gather costs
+    ~6.7 ns/item, and this runs per image per visibility refresh."""
     pose = SE3(pose_q, pose_t)
     p_cam = pose.apply(points)
     pix, _ = cm.project(camera, p_cam)
     si = jnp.floor(obs_scale).astype(jnp.int32) + 1
     L = len(image_pyr)
-    keep = valid
-    for s in range(1, L):
-        f = 2.0 ** (-s)
-        xs = f * (pix[:, 0] + 0.5) - 0.5
-        ys = f * (pix[:, 1] + 0.5) - 0.5
-        H, W = image_pyr[s].shape
-        ix = jnp.clip(jnp.floor(xs + 0.5).astype(jnp.int32), 0, W - 1)
-        iy = jnp.clip(jnp.floor(ys + 0.5).astype(jnp.int32), 0, H - 1)
-        at_scale = si == s
-        bad = image_pyr[s][iy, ix] > max_valid_intensity
-        if mask_pyr:
-            bad = bad | (mask_pyr[s][iy, ix] != 0)
-        keep = keep & ~(at_scale & bad)
-    return keep
+    if L <= 1:
+        return valid
+    flat, Hs, Ws, off = _pyramid_flat_meta(image_pyr)
+    sic = jnp.clip(si, 1, L - 1)
+    # per-point (H_l, W_l, off_l): elementwise selects, NOT tiny-table
+    # gathers (and NOT a one-hot matvec — bf16 MXU corrupts the offsets)
+    H_l = jnp.full(sic.shape, int(image_pyr[1].shape[0]), jnp.int32)
+    W_l = jnp.full(sic.shape, int(image_pyr[1].shape[1]), jnp.int32)
+    o_l = jnp.full(sic.shape, int(np.prod(image_pyr[0].shape[-2:])),
+                   jnp.int32)
+    o_acc = int(np.prod(image_pyr[0].shape[-2:]))
+    for s in range(2, L):
+        o_acc += int(np.prod(image_pyr[s - 1].shape[-2:]))
+        at = sic == s
+        H_l = jnp.where(at, int(image_pyr[s].shape[0]), H_l)
+        W_l = jnp.where(at, int(image_pyr[s].shape[1]), W_l)
+        o_l = jnp.where(at, o_acc, o_l)
+    f = jnp.exp2(-sic.astype(jnp.float32))
+    xs = f * (pix[:, 0] + 0.5) - 0.5
+    ys = f * (pix[:, 1] + 0.5) - 0.5
+    ix = jnp.clip(jnp.floor(xs + 0.5).astype(jnp.int32), 0, W_l - 1)
+    iy = jnp.clip(jnp.floor(ys + 0.5).astype(jnp.int32), 0, H_l - 1)
+    idx = o_l + iy * W_l + ix
+    bad = flat[idx] > max_valid_intensity
+    if mask_pyr:
+        mflat = jnp.concatenate([m.reshape(-1) for m in mask_pyr])
+        bad = bad | (mflat[idx] != 0)
+    in_range = (si >= 1) & (si <= L - 1)
+    return valid & ~(in_range & bad)
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,51 @@ def test_build_image_pyramid_odd_sizes_crop():
     img = np.arange(7 * 9, dtype=np.uint8).reshape(1, 7, 9)
     pyr = build_image_pyramid(img, 2)
     assert tuple(pyr[1].shape) == (1, 3, 4)
+
+
+def test_mask_filter_single_gather_matches_reference_loop():
+    """The round-5 one-gather ``_mask_filter_core`` equals the reference's
+    per-level loop (``visibility_estimator.cc:482-509``) including masks
+    and out-of-range interpolation scales."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.models import cameras as cm
+    from dataset_pipeline_tpu.models.lie import SE3
+    from dataset_pipeline_tpu.photometric.optimizer import _mask_filter_core
+
+    rng = np.random.RandomState(11)
+    W, H, L = 64, 48, 4
+    cam = cm.make_camera("PINHOLE", W, H, [50.0, 50.0, 31.5, 23.5])
+    N = 600
+    pts = np.stack([rng.uniform(-0.5, 0.5, N), rng.uniform(-0.4, 0.4, N),
+                    rng.uniform(1.5, 2.5, N)], -1).astype(np.float32)
+    pyr, mpyr = [], []
+    h, w = H, W
+    for s in range(L):
+        pyr.append(jnp.asarray(rng.uniform(0, 260, (h, w)).astype(np.float32)))
+        mpyr.append(jnp.asarray((rng.rand(h, w) < 0.15).astype(np.uint8)))
+        h, w = max(1, round(h / 2)), max(1, round(w / 2))
+    obs_scale = jnp.asarray(rng.uniform(-0.5, L - 0.5, N).astype(np.float32))
+    valid = jnp.asarray(rng.rand(N) > 0.2)
+    q = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+
+    got = np.asarray(_mask_filter_core(cam, q, t, jnp.asarray(pts), obs_scale,
+                                       valid, pyr, tuple(mpyr), 252.0))
+
+    # reference per-level loop
+    pose = SE3(q, t)
+    pix = np.asarray(cm.project(cam, pose.apply(jnp.asarray(pts)))[0])
+    si = np.floor(np.asarray(obs_scale)).astype(int) + 1
+    keep = np.asarray(valid).copy()
+    for s in range(1, L):
+        f = 2.0 ** (-s)
+        xs = f * (pix[:, 0] + 0.5) - 0.5
+        ys = f * (pix[:, 1] + 0.5) - 0.5
+        Hs, Ws = pyr[s].shape
+        ix = np.clip(np.floor(xs + 0.5).astype(int), 0, Ws - 1)
+        iy = np.clip(np.floor(ys + 0.5).astype(int), 0, Hs - 1)
+        bad = (np.asarray(pyr[s])[iy, ix] > 252.0) | (
+            np.asarray(mpyr[s])[iy, ix] != 0)
+        keep = keep & ~((si == s) & bad)
+    np.testing.assert_array_equal(got, keep)
