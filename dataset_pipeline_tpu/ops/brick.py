@@ -215,7 +215,7 @@ def _use_pallas() -> bool:
 
 
 _GCHUNK = 262_144  # obs per gather+extract block: bounds the transient
-# (chunk, 128) gathered-rows tensor to 128 MB (at DSLR scale the
+# (chunk, 128) gathered-rows tensor to 128 MB/image (at DSLR scale the
 # unchunked (1.6M, 128) rows OOM'd HBM under an 8-image vmap)
 
 

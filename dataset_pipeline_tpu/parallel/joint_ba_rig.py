@@ -563,8 +563,11 @@ def _cost_one(pack: RigJointPack, c: int, params_c, corr_q, corr_t,
     pix, valid = _project_full(cam, params_c, p_cam)
     inten, okS = _sample_pyramid(image_pyr, pix, obs_scale)
     ok = valid & okS
-    all_ok = ok & jnp.all(ok[neighbors], -1) & vis & pack.scene_valid[si]
-    r = (inten[neighbors] - inten[:, None]) - desc
+    from dataset_pipeline_tpu.photometric.optimizer import _nbr_inten_ok
+
+    nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, neighbors)
+    all_ok = ok & jnp.all(nbr_ok, -1) & vis & pack.scene_valid[si]
+    r = (nbr_inten - inten[:, None]) - desc
     r = jnp.where(all_ok[:, None], r, 0.0)
     norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
     rho = huber_rho(norm, DEFAULT_COLOR_HUBER)

@@ -282,6 +282,19 @@ def _sample_pyramid(image_pyr: List, pix0, obs_scale):
 
 
 
+def _nbr_inten_ok(inten, ok, neighbors):
+    """Neighbor (intensity, validity) in ONE gather: validity rides as a
+    sentinel value INSIDE the intensity plane (intensities live in
+    [0, 255]; 3e8 is exactly representable in f32). Each XLA gather costs
+    ~6.7 ns PER GATHERED ITEM, so separate inten[nbr] / ok[nbr] gathers
+    double the per-observation bill; unlike a packed (N,K,2) gather this
+    adds NO narrow trailing dim for the (8,128) tile layout to pad."""
+    enc = jnp.where(ok, inten, jnp.float32(3.0e8))
+    ge = enc[neighbors]
+    nbr_ok = ge < 1.5e8
+    return jnp.where(nbr_ok, ge, 0.0), nbr_ok
+
+
 def _point_intensities(camera, params, pose_q, pose_t, points, image_pyr, obs_scale):
     """Intensity of every point under the given state (vectorized)."""
     pose = SE3(pose_q, pose_t)
@@ -296,12 +309,12 @@ def _residual_data(camera, params, pose_q, pose_t, level: PhotoLevel, image_pyr,
     """Per-point residual vectors r (N,K) and the scalar robust cost terms."""
     inten, ok = _point_intensities(camera, params, pose_q, pose_t, level.points,
                                    image_pyr, obs_scale)
-    nbr_inten = inten[level.neighbors]  # (N,K)
+    nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, level.neighbors)
     r = (nbr_inten - inten[:, None]) - level.fixed_descriptors
     norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
     rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
     w = huber_weight(norm, DEFAULT_COLOR_HUBER)
-    all_ok = ok & jnp.all(ok[level.neighbors], -1) & contrib_mask
+    all_ok = ok & jnp.all(nbr_ok, -1) & contrib_mask
     return r, w, rho, all_ok
 
 
@@ -338,8 +351,9 @@ def _image_descriptors_one(camera: cm.Camera, params, pose_q, pose_t, level_poin
     observed points. Returns (desc_sum (N,K), observed (N,))."""
     inten, ok = _point_intensities(camera, params, pose_q, pose_t, level_points,
                                    image_pyr, obs_scale)
-    all_ok = ok & jnp.all(ok[level_neighbors], -1) & contrib_mask
-    desc = inten[level_neighbors] - inten[:, None]
+    nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, level_neighbors)
+    all_ok = ok & jnp.all(nbr_ok, -1) & contrib_mask
+    desc = jnp.where(all_ok[:, None], nbr_inten - inten[:, None], 0.0)
     return jnp.where(all_ok[:, None], desc, 0.0), all_ok
 
 
@@ -397,8 +411,9 @@ def _gram_assemble(J, inten, ok, neighbors, desc, contrib_mask):
     scatters (TPU scatter-adds with colliding indices serialize; this
     formulation trades them for K tiny matmuls).
     """
-    all_ok = ok & jnp.all(ok[neighbors], -1) & contrib_mask
-    r = (inten[neighbors] - inten[:, None]) - desc
+    nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, neighbors)
+    all_ok = ok & jnp.all(nbr_ok, -1) & contrib_mask
+    r = (nbr_inten - inten[:, None]) - desc
     r = jnp.where(all_ok[:, None], r, 0.0)
     norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
     rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
@@ -728,8 +743,9 @@ def _cost_batch(camera: cm.Camera, params, pose_q, pose_t, points, neighbors,
 
     def one(q, t, pts, nbr, d, pyr, s, m):
         inten, ok = _point_intensities(camera, params, q, t, pts, pyr, s)
-        all_ok = ok & jnp.all(ok[nbr], -1) & m
-        r = (inten[nbr] - inten[:, None]) - d
+        nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, nbr)
+        all_ok = ok & jnp.all(nbr_ok, -1) & m
+        r = (nbr_inten - inten[:, None]) - d
         r = jnp.where(all_ok[:, None], r, 0.0)
         norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-20))
         rho = huber_rho(norm, DEFAULT_COLOR_HUBER)
@@ -753,8 +769,9 @@ def _imgdesc_batch(camera: cm.Camera, params, pose_q, pose_t, points,
 
     def one(q, t, pts, nbr, pyr, s, m):
         inten, ok = _point_intensities(camera, params, q, t, pts, pyr, s)
-        all_ok = ok & jnp.all(ok[nbr], -1) & m
-        d = inten[nbr] - inten[:, None]
+        nbr_inten, nbr_ok = _nbr_inten_ok(inten, ok, nbr)
+        all_ok = ok & jnp.all(nbr_ok, -1) & m
+        d = nbr_inten - inten[:, None]
         return jnp.where(all_ok[:, None], d, 0.0), all_ok
 
     fn = jax.vmap(one, in_axes=(0, 0, ga, ga, 0, 0, 0))
@@ -823,6 +840,66 @@ def _hb_depth_batch(camera: cm.Camera, params, pose_q, pose_t, points,
     H, b, cost, count = fn(pose_q, pose_t, points, depth_pyr, obs_scale,
                            contrib)
     return H, b, jnp.sum(cost), jnp.sum(count)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch fusion: through the remote relay EVERY dispatch costs ~0.2 s, so
+# per-(level, residual-type) calls dominate the DSLR engine iteration (the
+# device work is ~2 s). These wrappers trace the per-level jitted kernels
+# into ONE program (nested jit inlines), turning 3 levels x types x
+# (vis+mask) calls into one dispatch each. Structure (entry count) is part
+# of the jit key via the pytree; statics via static_argnames.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("scale_count", "width", "height",
+                                   "geom_batched"))
+def _visibility_mask_levels(camera: cm.Camera, pose_q, pose_t, occl,
+                            level_args, current_scale, scale_count: int,
+                            width: int, height: int, depth_slack, min_depth,
+                            max_valid_intensity, row_valid,
+                            geom_batched: bool = False):
+    """All levels' visibility + mask filter for one image chunk in ONE
+    dispatch. ``level_args``: tuple of (points, radius, core_or_None,
+    image_pyr, mask_pyr) per level. Returns tuple of (mask, obs_scale)."""
+    outs = []
+    for (points, radius, core, pyr, mask_pyr) in level_args:
+        m, sc = _visibility_batch(camera, pose_q, pose_t, points, radius,
+                                  occl, current_scale, scale_count, width,
+                                  height, depth_slack, min_depth,
+                                  geom_batched=geom_batched)
+        if core is not None:
+            m = m & core
+        m = m & row_valid[:, None]
+        m = _mask_filter_batch(camera, pose_q, pose_t, points, sc, m, pyr,
+                               mask_pyr, max_valid_intensity,
+                               geom_batched=geom_batched)
+        outs.append((m, sc))
+    return tuple(outs)
+
+
+@partial(jax.jit, static_argnames=("optimize_intrinsics", "dynamic_scale",
+                                   "geom_batched"))
+def _hb_batch_levels(camera: cm.Camera, params, pose_q, pose_t, entries,
+                     optimize_intrinsics: bool, dynamic_scale: bool,
+                     geom_batched: bool = False):
+    """One dispatch for a chunk's FULL set of (level, residual-type) H,b
+    accumulations. ``entries``: tuple of (points, neighbors, desc, pyr,
+    obs_scale, contrib, radius)."""
+    return tuple(
+        _hb_batch(camera, params, pose_q, pose_t, pts, nbr, d, pyr, sc, m,
+                  rad, optimize_intrinsics, dynamic_scale, geom_batched)
+        for (pts, nbr, d, pyr, sc, m, rad) in entries)
+
+
+@partial(jax.jit, static_argnames=("geom_batched",))
+def _cost_batch_levels(camera: cm.Camera, params, pose_q, pose_t, entries,
+                       geom_batched: bool = False):
+    """One dispatch for a chunk's full set of cost evaluations."""
+    return tuple(
+        _cost_batch(camera, params, pose_q, pose_t, pts, nbr, d, pyr, sc, m,
+                    geom_batched=geom_batched)
+        for (pts, nbr, d, pyr, sc, m) in entries)
 
 
 @partial(jax.jit, static_argnames=("geom_batched",))
@@ -1274,6 +1351,10 @@ class PhotometricOptimizer:
     def _visibility(self, occl):
         """vis[gi][l][batch_index] = (mask (nb,M), obs_scale (nb,M)) aligned
         with ``self._batches[(gi, l)]``."""
+        if self._kernels is None and self.obs_cache is None:
+            # all levels of a chunk in ONE dispatch (relay dispatch
+            # overhead ~0.2 s dominates the per-level calls)
+            return self._visibility_fused(occl)
         vis = []
         for gi, g in enumerate(self.p.groups):
             cam = g.camera
@@ -1306,6 +1387,39 @@ class PhotometricOptimizer:
                     )
                     per_batch.append((m, s))
                 per_level.append(per_batch)
+            vis.append(per_level)
+        return vis
+
+    def _visibility_fused(self, occl):
+        vis = []
+        for gi, g in enumerate(self.p.groups):
+            cam = g.camera
+            local_current = max(self.current_scale - g.min_image_scale, 0)
+            n_levels = len(self.p.levels)
+            per_level = [[] for _ in range(n_levels)]
+            for bi in range(len(self._batches[(gi, 0)])):
+                b0 = self._batches[(gi, 0)][bi]
+                q = g.poses.q[b0.idx_dev]
+                t = g.poses.t[b0.idx_dev]
+                level_args = []
+                for l, level in enumerate(self.p.levels):
+                    batch = self._batches[(gi, l)][bi]
+                    level_args.append((
+                        batch.points,
+                        jnp.asarray(level.radius, jnp.float32),
+                        batch.core, batch.pyr, batch.mask_pyr))
+                outs = _visibility_mask_levels(
+                    cam, q, t, occl[gi][b0.idx_dev], tuple(level_args),
+                    jnp.asarray(local_current, jnp.float32),
+                    g.level_count, cam.width, cam.height,
+                    jnp.asarray(self.p.occlusion_depth_threshold,
+                                jnp.float32),
+                    jnp.asarray(0.05, jnp.float32),
+                    jnp.asarray(self.p.max_valid_intensity, jnp.float32),
+                    b0.row_valid_dev,
+                )
+                for l in range(n_levels):
+                    per_level[l].append(outs[l])
             vis.append(per_level)
         return vis
 
@@ -1375,6 +1489,29 @@ class PhotometricOptimizer:
         # dispatched first and fetched in ONE device_get (no per-term sync)
         pend = []
         for gi, g in enumerate(self.p.groups):
+            if (self._kernels is None and not self._depth_active(g)
+                    and self.obs_cache is None):
+                # fused: every (level, type) cost of a chunk in ONE dispatch
+                for bi in range(len(self._batches[(gi, 0)])):
+                    b0 = self._batches[(gi, 0)][bi]
+                    q = group_poses[gi].q[b0.idx_dev]
+                    t = group_poses[gi].t[b0.idx_dev]
+                    entries = []
+                    keys = []
+                    for l in range(len(self.p.levels)):
+                        batch = self._batches[(gi, l)][bi]
+                        mask, sc = vis[gi][l][bi]
+                        for ti, (desc, extra, _) in enumerate(
+                                self._batch_residual_sets(l, batch)):
+                            m = mask if extra is None else (mask & extra)
+                            entries.append((batch.points, batch.neighbors,
+                                            desc, batch.pyr, sc, m))
+                            keys.append(ti)
+                    outs = _cost_batch_levels(g.camera, group_params[gi],
+                                              q, t, tuple(entries))
+                    for k, (c, n) in zip(keys, outs):
+                        pend.append((k, c, n))
+                continue
             for l in range(len(self.p.levels)):
                 for bi, batch in enumerate(self._batches[(gi, l)]):
                     mask, s = vis[gi][l][bi]
@@ -1560,6 +1697,34 @@ class PhotometricOptimizer:
             P = int(g.camera.params.shape[0])
             nint = P if self.optimize_intrinsics else 0
             dependent = g.rig_cam_index > 0
+            if (self._kernels is None and not dependent
+                    and not self._depth_active(g)
+                    and self.obs_cache is None):
+                # all (level, type) accumulations of a chunk in ONE
+                # dispatch (each relay dispatch costs ~0.2 s)
+                for bi in range(len(self._batches[(gi, 0)])):
+                    b0 = self._batches[(gi, 0)][bi]
+                    q = g.poses.q[b0.idx_dev]
+                    t = g.poses.t[b0.idx_dev]
+                    entries = []
+                    metas = []
+                    for l, level in enumerate(self.p.levels):
+                        batch = self._batches[(gi, l)][bi]
+                        mask, sc = vis[gi][l][bi]
+                        radius = jnp.asarray(level.radius, jnp.float32)
+                        for ti, (desc, extra, w_t) in enumerate(
+                                self._batch_residual_sets(l, batch)):
+                            m = mask if extra is None else (mask & extra)
+                            entries.append((batch.points, batch.neighbors,
+                                            desc, batch.pyr, sc, m, radius))
+                            metas.append(dict(kind="plain", gi=gi, ti=ti,
+                                              w=w_t, batch=batch, nint=nint,
+                                              P=P))
+                    outs = _hb_batch_levels(
+                        g.camera, g.camera.params, q, t, tuple(entries),
+                        self.optimize_intrinsics, self.scale_jacobian)
+                    pend.extend(zip(metas, outs))
+                continue
             for l, level in enumerate(self.p.levels):
                 radius = jnp.asarray(level.radius, jnp.float32)
                 for bi, batch in enumerate(self._batches[(gi, l)]):
