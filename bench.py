@@ -1210,10 +1210,14 @@ def main():
         "metric": "icp_gn_correspondences_per_s",
         "value": round(corr_iters_per_s, 1),
         "unit": "corr*iters/s, DEVICE time of the 20-iteration inner LM "
-                "schedule at 8M corr (repeat-delta harness; the remote "
-                "relay's ~0.2 s/dispatch overhead is reported separately "
-                "as icp_schedule_dispatch_s) vs the measured C++ reference "
-                "loop re-accumulating per iteration",
+                "schedule at 8M corr, ADDITIVE decomposition: measured "
+                "moment pass (R=65 repeat-delta, median of 5 estimates, "
+                "min/max shipped) + 20 x measured O(1) LM step "
+                "(scan-length differencing) — immune to the loop-"
+                "invariant-hoisting that spread r4's combined metric "
+                "+/-45%; relay dispatch floor reported separately as "
+                "icp_schedule_dispatch_s; vs the measured C++ reference "
+                "loop re-accumulating per iteration (median of 3)",
         "vs_baseline": round(corr_iters_per_s / cpu, 3),
         "metrics": metrics,
     }

@@ -134,3 +134,82 @@ def test_hb_one_brick_matches_flat():
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-3)
+
+
+def test_fused_dispatch_wrappers_match_per_call():
+    """The fused per-chunk wrappers (_visibility_mask_levels,
+    _hb_batch_levels, _cost_batch_levels — one relay dispatch for all
+    (level, type) kernels of a chunk) return exactly what the individual
+    jitted calls return."""
+    import dataset_pipeline_tpu.photometric.optimizer as po
+    from dataset_pipeline_tpu.models import cameras as cm
+
+    rng = np.random.RandomState(9)
+    W, H, L, nb = 64, 48, 3, 2
+    cam = cm.make_camera("PINHOLE", W, H, [50.0, 50.0, 31.5, 23.5])
+    params = jnp.asarray(cam.params)
+    pose_q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (nb, 1))
+    pose_t = jnp.asarray(0.01 * rng.randn(nb, 3), jnp.float32)
+    occl = jnp.full((nb, H, W), 10.0, jnp.float32)
+    pyr = []
+    h, w = H, W
+    for s in range(L):
+        pyr.append(jnp.asarray(rng.uniform(5, 200, (nb, h, w)).astype(np.float32)))
+        h, w = max(2, round(h / 2)), max(2, round(w / 2))
+    pyr = tuple(pyr)
+
+    level_args = []
+    entries_hb = []
+    entries_cost = []
+    per_level = []
+    for li, n in enumerate((500, 200)):
+        pts = np.stack([rng.rand(n) * 1.2 - 0.6, rng.rand(n) * 0.9 - 0.45,
+                        rng.rand(n) * 0.5 + 1.5], -1).astype(np.float32)
+        nbr = rng.randint(0, n, (n, 3)).astype(np.int32)
+        desc = (rng.rand(n, 3) * 4 - 2).astype(np.float32)
+        radius = jnp.asarray(0.006 * (1 + li), jnp.float32)
+        sc = jnp.asarray(rng.uniform(0.1, L - 1.1, (nb, n)).astype(np.float32))
+        m = jnp.asarray(rng.rand(nb, n) > 0.1)
+        level_args.append((jnp.asarray(pts), radius, None, pyr, ()))
+        entries_hb.append((jnp.asarray(pts), jnp.asarray(nbr),
+                           jnp.asarray(desc), pyr, sc, m, radius))
+        entries_cost.append((jnp.asarray(pts), jnp.asarray(nbr),
+                             jnp.asarray(desc), pyr, sc, m))
+        per_level.append((pts, nbr, desc, radius, sc, m))
+
+    row_valid = jnp.asarray([True, True])
+    fused_vis = po._visibility_mask_levels(
+        cam, pose_q, pose_t, occl, tuple(level_args),
+        jnp.asarray(0.0, jnp.float32), L, W, H,
+        jnp.asarray(0.01, jnp.float32), jnp.asarray(0.05, jnp.float32),
+        jnp.asarray(252.0, jnp.float32), row_valid)
+    for li, (pts, nbr, desc, radius, sc, m) in enumerate(per_level):
+        mv, sv = po._visibility_batch(
+            cam, pose_q, pose_t, jnp.asarray(pts), radius, occl,
+            jnp.asarray(0.0, jnp.float32), L, W, H,
+            jnp.asarray(0.01, jnp.float32), jnp.asarray(0.05, jnp.float32))
+        mv = mv & row_valid[:, None]
+        mv = po._mask_filter_batch(cam, pose_q, pose_t, jnp.asarray(pts), sv,
+                                   mv, pyr, (),
+                                   jnp.asarray(252.0, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(fused_vis[li][0]),
+                                      np.asarray(mv))
+        np.testing.assert_allclose(np.asarray(fused_vis[li][1]),
+                                   np.asarray(sv), rtol=1e-6)
+
+    fused_hb = po._hb_batch_levels(cam, params, pose_q, pose_t,
+                                   tuple(entries_hb), True, True)
+    fused_cost = po._cost_batch_levels(cam, params, pose_q, pose_t,
+                                       tuple(entries_cost))
+    for li, (pts, nbr, desc, radius, sc, m) in enumerate(per_level):
+        ref = po._hb_batch(cam, params, pose_q, pose_t, jnp.asarray(pts),
+                           jnp.asarray(nbr), jnp.asarray(desc), pyr, sc, m,
+                           radius, True, True)
+        for a, b in zip(fused_hb[li], ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-5)
+        refc = po._cost_batch(cam, params, pose_q, pose_t, jnp.asarray(pts),
+                              jnp.asarray(nbr), jnp.asarray(desc), pyr, sc, m)
+        for a, b in zip(fused_cost[li], refc):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
