@@ -15,18 +15,39 @@ re-accumulating all rows per iteration as ``impl.h:217-291`` does; the
 NumPy stand-in remains only as a fallback when no compiler is available
 (flagged by ``baseline_kind``).
 
+Round-5 timing discipline: the schedule headline is ADDITIVE (measured
+moment pass at R=65 repeat-delta, median of 5 estimates with min/max, plus
+20 x the scan-length-differenced O(1) LM step); ``hbm_copy_gbps`` is a
+pure-HBM-copy kernel under the same harness that validates the
+repeat-delta methodology against a known-bandwidth op; utilization is
+reported UNCLIPPED; C++ baselines are medians of 3 (the single-core rates
+swing ~2x with host load).
+
 Additional metrics (the BASELINE.md matrix), reported in the "metrics" dict:
   photometric_hb_obs_per_s   — batched photometric H,b accumulation
-                               (``photometric/optimizer.py:_hb_batch``)
-  cubemap_2048_faces_per_s   — 2048^2 cube-map faces/s on a 10M-point scan
-                               (``/root/reference/src/exe/cube_map_renderer.cc:238-258``)
+                               (``photometric/optimizer.py:_hb_batch``,
+                               brick row-gather sampler)
+  registrator_dslr_*         — the full engine at DSLR production scale
+                               + ref_cpp_photo_obs_per_s (median C++ core)
+  cubemap_2048_faces_per_s   — 2048^2 cube-map faces/s e2e on a 10M-point
+                               scan, split into cubemap_device_faces_per_s
+                               (repeat-delta device time) and the packed
+                               5 B/px wire metrics; *_vs_ref against the
+                               measured C++ face loop (ref_render_loops.cc)
   gt_depth_frames_per_s      — occlusion splat render + min-z GT depth per
-                               frame, 4M points at 3072x2048
-                               (``/root/reference/src/exe/ground_truth_creator.cc:148-216``)
+                               frame, 4M points at 3072x2048, + gt_depth_vs_ref
   registrator_e2e_s          — end-to-end two-frame ImageRegistrator
                                optimization (10 LM iterations/scale, 2 scales)
   icp_moment_pass_gbps       — effective HBM bandwidth of the moment kernel
-                               + hbm_util_pct vs the chip's peak
+                               (median + min/max) + unclipped hbm_util_pct
+  gather_*                   — the measured per-gathered-item cost model
+                               (scalar vs 128-lane-row regimes)
+  icp_engine_*               — moment-vs-direct engine A/B incl. 28M corr
+                               (relay-RTT-dominated; high run-to-run
+                               variance — see BASELINE.md)
+  scaling                    — psum-vs-no-psum collective share on the
+                               8-virtual-device mesh + payload bytes
+  joint_ba_*                 — multi-scene Schur BA step at >=2M rows
 """
 
 import json

@@ -22,6 +22,70 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _use_sorted_zbuffer() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def zbuffer_min(flat, z, n_px: int, aux=None, use_sorted=None):
+    """Per-pixel min-z winner-take-all into a flat (n_px,) buffer.
+
+    ``flat``: (N,) int32 pixel ids, out-of-range (>= n_px or < 0) dropped;
+    ``z``: (N,) f32. Returns depth (n_px,) f32 (inf = empty), and when
+    ``aux`` (N,) int32 is given, also the winning point's aux per pixel
+    (0 where empty) — z-ties resolved to the LOWEST point index.
+
+    On TPU the winner is found by ONE multi-key ``lax.sort`` by
+    (pixel, z, index) + a first-of-run mask, so the final scatter has
+    effectively UNIQUE indices: TPU scatters serialize PER COLLIDING
+    GROUP, and a z-buffer scatter of N >> n_px colliding points is the
+    bottleneck of every point render here. On CPU (tests) the plain
+    colliding scatter-min is used — both paths are equality-tested.
+    """
+    import jax
+
+    if use_sorted is None:
+        # the sort wins when collisions are heavy (TPU scatters serialize
+        # PER COLLIDING GROUP): measured +47% on the 10M-point 2048^2 cube
+        # face (2.4 pts/px) but -15% on the 4M-point splat tiers (~0.1
+        # pts/px, scatter already near-collision-free)
+        use_sorted = _use_sorted_zbuffer() and flat.shape[0] >= n_px
+    inside = (flat >= 0) & (flat < n_px)
+    if not use_sorted:
+        tgt = jnp.where(inside, flat, n_px)
+        depth = jnp.full((n_px,), jnp.inf, jnp.float32)
+        depth = depth.at[tgt].min(jnp.where(inside, z, jnp.inf), mode="drop")
+        if aux is None:
+            return depth
+        n = flat.shape[0]
+        won = inside & (z <= depth[jnp.where(inside, flat, 0)])
+        idx_img = jnp.full((n_px,), n, jnp.int32)
+        idx_img = idx_img.at[jnp.where(won, flat, n_px)].min(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        has = idx_img < n
+        av = jnp.where(has, aux[jnp.minimum(idx_img, n - 1)], 0)
+        return depth, av
+    n = flat.shape[0]
+    fk = jnp.where(inside, flat, n_px).astype(jnp.int32)
+    zk = jnp.where(inside, z, jnp.inf)
+    ik = jnp.arange(n, dtype=jnp.int32)
+    ops = (fk, zk, ik) + (() if aux is None else (aux,))
+    sorted_ops = jax.lax.sort(ops, num_keys=3)
+    fs, zs = sorted_ops[0], sorted_ops[1]
+    first = jnp.concatenate([jnp.ones((1,), bool), fs[1:] != fs[:-1]])
+    win = first & (fs < n_px)
+    tgt = jnp.where(win, fs, n_px)
+    depth = jnp.full((n_px,), jnp.inf, jnp.float32)
+    depth = depth.at[tgt].min(jnp.where(win, zs, jnp.inf), mode="drop")
+    if aux is None:
+        return depth
+    auxs = sorted_ops[3]
+    aimg = jnp.zeros((n_px,), auxs.dtype)
+    aimg = aimg.at[tgt].max(jnp.where(win, auxs, 0), mode="drop")
+    return depth, aimg
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def render_points_depth(points_cam, width: int, height: int, fx, fy, cx, cy):
     """Z-buffer render of camera-frame points with pinhole intrinsics.
@@ -38,8 +102,7 @@ def render_points_depth(points_cam, width: int, height: int, fx, fy, cx, cy):
     iy = jnp.floor(y).astype(jnp.int32)
     inside = valid & (ix >= 0) & (iy >= 0) & (ix < width) & (iy < height)
     flat = jnp.where(inside, iy * width + ix, -1)
-    depth = jnp.full((height * width,), jnp.inf, jnp.float32)
-    depth = depth.at[flat].min(jnp.where(inside, z, jnp.inf), mode="drop")
+    depth = zbuffer_min(flat, jnp.where(inside, z, jnp.inf), height * width)
     return depth.reshape(height, width)
 
 
@@ -51,7 +114,6 @@ def render_points_depth_color(points_cam, colors, width: int, height: int, fx, f
     their pixel (ties resolved arbitrarily, like the reference's sequential
     z-test). Returns (depth (H,W), color (H,W,3) uint8, black = empty).
     """
-    depth = render_points_depth(points_cam, width, height, fx, fy, cx, cy)
     z = points_cam[:, 2]
     valid = z > 0
     safe_z = jnp.where(valid, z, 1.0)
@@ -60,24 +122,14 @@ def render_points_depth_color(points_cam, colors, width: int, height: int, fx, f
     ix = jnp.floor(x).astype(jnp.int32)
     iy = jnp.floor(y).astype(jnp.int32)
     inside = valid & (ix >= 0) & (iy >= 0) & (ix < width) & (iy < height)
-    flat = jnp.where(inside, iy * width + ix, 0)
-    won = inside & (z <= jnp.where(inside, depth.reshape(-1)[flat], -jnp.inf))
-    # winner-index scatter-min (int32) + one gather instead of a uint8 color
-    # scatter: sub-word scatters serialize on TPU, and min-index makes the
-    # z-tie winner deterministic. Padding index is out of range (negative
-    # indices WRAP in jnp .at before the drop-mode bounds check).
-    n = points_cam.shape[0]
-    point_idx = jnp.arange(n, dtype=jnp.int32)
-    idx_img = jnp.full((height * width,), n, jnp.int32)
-    idx_img = idx_img.at[jnp.where(won, flat, height * width)].min(
-        point_idx, mode="drop")
-    has = idx_img < n
+    flat = jnp.where(inside, iy * width + ix, -1)
     c32 = colors.astype(jnp.int32)
     packed = (c32[:, 0] << 16) | (c32[:, 1] << 8) | c32[:, 2]
-    pimg = jnp.where(has, packed[jnp.minimum(idx_img, n - 1)], 0)
+    depth, pimg = zbuffer_min(flat, jnp.where(inside, z, jnp.inf),
+                              height * width, aux=packed)
     img = jnp.stack([(pimg >> 16) & 0xFF, (pimg >> 8) & 0xFF, pimg & 0xFF],
                     -1).astype(jnp.uint8)
-    return depth, img.reshape(height, width, 3)
+    return depth.reshape(height, width), img.reshape(height, width, 3)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_radius_px"))
@@ -113,10 +165,9 @@ def render_splats_depth(points_cam, radii_world, width: int, height: int,
     jx, jy = ix + R, iy + R
     inside = valid & (jx >= 0) & (jy >= 0) & (jx < Wp) & (jy < Hp)
     tier_size = Hp * Wp
-    flat = jnp.where(inside, k_pt * tier_size + jy * Wp + jx,
-                     (R + 1) * tier_size)
-    buf = jnp.full(((R + 1) * tier_size,), jnp.inf, jnp.float32)
-    buf = buf.at[flat].min(jnp.where(inside, z, jnp.inf), mode="drop")
+    flat = jnp.where(inside, k_pt * tier_size + jy * Wp + jx, -1)
+    buf = zbuffer_min(flat, jnp.where(inside, z, jnp.inf),
+                      (R + 1) * tier_size)
     buf = buf.reshape(R + 1, Hp, Wp)
 
     inf = jnp.inf

@@ -69,10 +69,11 @@ def _gt_depth_image(camera: cm.Camera, pose_q, pose_t, points, keep, occl_depth,
                     width: int, height: int, eval_mask=None):
     vis, ix, iy, z = _visible_mask(camera, pose_q, pose_t, points, occl_depth,
                                    width, height, eval_mask)
+    from dataset_pipeline_tpu.ops.splat import zbuffer_min
+
     ok = vis & keep
     flat = jnp.where(ok, iy * width + ix, -1)
-    depth = jnp.full((height * width,), jnp.inf, jnp.float32)
-    depth = depth.at[flat].min(jnp.where(ok, z, jnp.inf), mode="drop")
+    depth = zbuffer_min(flat, jnp.where(ok, z, jnp.inf), height * width)
     return depth.reshape(height, width)
 
 

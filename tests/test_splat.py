@@ -185,3 +185,33 @@ def test_cubemap_pipelined_matches_dense():
         fin = np.isfinite(dd)
         assert (np.isfinite(dp) == fin).all()
         np.testing.assert_allclose(dp[fin], dd[fin], rtol=3e-4)
+
+
+def test_zbuffer_min_sorted_matches_scatter():
+    """The TPU sort-based z-buffer (one multi-key sort + unique-index
+    scatter) equals the colliding scatter-min path, including min-index
+    z-tie resolution and the aux (winner color) channel."""
+    import jax.numpy as jnp
+
+    from dataset_pipeline_tpu.ops.splat import zbuffer_min
+
+    rng = np.random.RandomState(21)
+    n, n_px = 20000, 512
+    flat = rng.randint(-3, n_px + 3, n).astype(np.int32)
+    z = rng.rand(n).astype(np.float32) * 10
+    # force exact z-ties to exercise the min-index rule
+    z[rng.rand(n) < 0.3] = 2.5
+    aux = rng.randint(0, 1 << 24, n).astype(np.int32)
+
+    d0, a0 = zbuffer_min(jnp.asarray(flat), jnp.asarray(z), n_px,
+                         aux=jnp.asarray(aux), use_sorted=False)
+    d1, a1 = zbuffer_min(jnp.asarray(flat), jnp.asarray(z), n_px,
+                         aux=jnp.asarray(aux), use_sorted=True)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    d0 = zbuffer_min(jnp.asarray(flat), jnp.asarray(z), n_px,
+                     use_sorted=False)
+    d1 = zbuffer_min(jnp.asarray(flat), jnp.asarray(z), n_px,
+                     use_sorted=True)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
