@@ -177,3 +177,109 @@ def test_joint_ba_cli(tmp_path):
                  [l for l in meta.splitlines()
                   if l.startswith("costs ")][0].split()[1:]]
         assert min(costs) < 0.6 * costs[0], costs
+
+
+def _write_rig_scene(root, seed, phase, scan1_delta, extr_t):
+    """Rig variant of ``_write_scene``: 2 frames x 2 rig cameras (folders
+    cam0/cam1 + rigs.json), exact renders from both cameras."""
+    from PIL import Image as PILImage
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    n_half = 6000
+    xy0 = rng.uniform(0.2, 1.8, (n_half, 2))
+    xy1 = rng.uniform(0.2, 1.8, (n_half, 2))
+    pts0, pts1 = _surface(xy0, phase), _surface(xy1, phase)
+    cols0 = np.stack([_texture(xy0).astype(np.float32)] * 3, -1).astype(np.uint8)
+    cols1 = np.stack([_texture(xy1).astype(np.float32)] * 3, -1).astype(np.uint8)
+    d_scan = SE3.exp(jnp.asarray(scan1_delta, jnp.float32))
+    write_ply(f"{root}/scan0.ply", PointCloud(pts0, None, cols0))
+    write_ply(f"{root}/scan1.ply", PointCloud(pts1, None, cols1))
+    M1 = np.eye(4)
+    M1[:3, :3] = np.asarray(d_scan.rotation_matrix(), np.float64)
+    M1[:3, 3] = np.asarray(d_scan.t, np.float64)
+    write_meshlab_project(f"{root}/scan_alignment.mlp", [
+        MeshInfo("scan0", "scan0.ply", np.eye(4)),
+        MeshInfo("scan1", "scan1.ply", M1),
+    ])
+
+    pts_gt = np.concatenate([pts0, pts1])
+    cols_gt = np.concatenate([cols0, cols1])
+    cam = cm.make_camera("PINHOLE", W, H, [F, F, CX, CY])
+    images = []
+    os.makedirs(f"{root}/images/cam0", exist_ok=True)
+    os.makedirs(f"{root}/images/cam1", exist_ok=True)
+    state_dir = f"{root}/state"
+    os.makedirs(state_dir, exist_ok=True)
+    iid = 1
+    for i, eye in enumerate([[1.0, 1.0, -2.0], [1.3, 1.1, -1.9]]):
+        R0, t0 = _look_at(np.asarray(eye))
+        for ci, (R, t) in enumerate(((R0, t0), (R0, t0 + extr_t))):
+            p_cam = pts_gt @ R.T + t
+            d, c = render_points_depth_color(jnp.asarray(p_cam),
+                                             jnp.asarray(cols_gt),
+                                             W, H, F, F, CX, CY)
+            cf, v = fill_color_from_depth(d, c)
+            img = np.asarray(flood_fill_colors(cf, v))[..., 0]
+            name = f"cam{ci}/im{i}.png"
+            PILImage.fromarray(img.astype(np.uint8)).save(
+                f"{root}/images/{name}")
+            images.append(ImageState(iid, ci + 1, name, _quat(R), t.copy()))
+            iid += 1
+    save_colmap_state(state_dir, ModelState({1: cam, 2: cam}, images, 1.0))
+    import json as _json
+
+    with open(f"{state_dir}/rigs.json", "w") as f:
+        _json.dump([{"ref_camera_id": 1, "cameras": [
+            {"camera_id": 1, "image_prefix": "cam0"},
+            {"camera_id": 2, "image_prefix": "cam1"},
+        ]}], f)
+    return d_scan
+
+
+@pytest.mark.slow
+def test_joint_ba_cli_rig(tmp_path):
+    """The joint_ba CLI routes a rigs.json scene through the rig-capable
+    system end-to-end: files in -> corrected .mlp + per-camera COLMAP
+    state out, with dependent image poses re-derived from the optimized
+    extrinsic."""
+    from dataset_pipeline_tpu.tools.joint_ba import main
+
+    root = str(tmp_path)
+    extr_t = np.asarray([-0.06, 0.0, 0.0])
+    delta = 0.008 * np.random.RandomState(5).randn(6).astype(np.float32)
+    d_scan = _write_rig_scene(f"{root}/scene", 10, 0.0, delta, extr_t)
+    out = f"{root}/out"
+    rc = main([
+        "--scene", f"{root}/scene/scan_alignment.mlp,"
+        f"{root}/scene/state,{root}/scene/images",
+        "--output_folder_path", out, "--max_iterations", "6",
+        "--fix_intrinsics", "--max_corr_distance", "0.1",
+        "--icp_weight", "1.0", "--splat_radius", "0.02"])
+    assert rc == 0
+
+    mlp = read_meshlab_project(f"{out}/scene_0/scan_alignment.mlp")
+    M1 = np.asarray(mlp[1].global_T_mesh)
+    err_after = max(np.abs(M1[:3, :3] - np.eye(3)).max(),
+                    np.abs(M1[:3, 3]).max())
+    D = np.asarray(d_scan.matrix(), np.float64)
+    err_before = max(np.abs(D[:3, :3] - np.eye(3)).max(),
+                     np.abs(D[:3, 3]).max())
+    assert err_after < err_before + 0.02, (err_before, err_after)
+
+    st = load_colmap_state(f"{out}/scene_0", 1.0)
+    assert len(st.images) == 4
+    # dependent poses must sit at ~extr o ref (the optimized extrinsic is
+    # near the GT x-offset on this exact-render scene)
+    by_name = {im.name: im for im in st.images}
+    for i in range(2):
+        r = by_name[f"cam0/im{i}.png"]
+        d_ = by_name[f"cam1/im{i}.png"]
+        from dataset_pipeline_tpu.models.lie import quat_to_matrix_np
+
+        Rr = quat_to_matrix_np(np.asarray(r.qvec, np.float64))
+        Rd = quat_to_matrix_np(np.asarray(d_.qvec, np.float64))
+        rel_t = np.asarray(d_.tvec) - Rd @ Rr.T @ np.asarray(r.tvec)
+        np.testing.assert_allclose(rel_t, extr_t, atol=0.02)
+    meta = open(f"{out}/scene_0/metadata.txt").read()
+    assert "costs" in meta
