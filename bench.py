@@ -693,7 +693,11 @@ def bench_icp_engine_ab(ms=(1_000_000, 8_000_000, 28_000_000), iters=20):
     (use_moments=False), timed end-to-end through ``_inner_lm`` on fixed
     correspondences — every host round-trip and dispatch included. The
     lambda ladders run as ONE batched cost dispatch per iteration on both
-    paths."""
+    paths. Convergence threshold is the engine's default 1e-7: the r4-r5a
+    runs passed 1e-12, below the f32 step-noise floor, so BOTH paths
+    always ran all 20 direct iterations and the A/B degenerated to
+    "direct" vs "direct + moment overhead" (ratio noise around 1.0) —
+    structurally unlike the engine, whose finisher exits on threshold."""
     from dataset_pipeline_tpu.icp.point_to_plane import PointToPlaneICP
 
     out = {}
@@ -724,7 +728,7 @@ def bench_icp_engine_ab(ms=(1_000_000, 8_000_000, 28_000_000), iters=20):
         for use_moments in (True, False):
             icp = PointToPlaneICP(use_moments=use_moments)
             icp._clouds = [(ps_h, n_h), (pt_h, n_h)]  # entries only sized
-            run = lambda: icp._inner_lm(corr, 2, iters, 1e-12)  # noqa: E731
+            run = lambda: icp._inner_lm(corr, 2, iters, 1e-7)  # noqa: E731
             run()  # compile
             t0 = time.time()
             run()
